@@ -1,0 +1,71 @@
+"""Shared helpers for query builders.
+
+Oracle-parity rules used across all modules (SURVEY.md §7.6):
+
+- Per-row scalar arithmetic on the same parquet values is bitwise identical
+  between Spark and DuckDB (same IEEE-754 ops) — no rounding needed.
+- Aggregation ORDER is engine-dependent, so double sums/avgs carry float
+  association error ~1e-10 relative. Round sums of large magnitudes to 1 dp
+  (quantum >> error), averages to 4-6 dp.
+- DuckDB sums of integers produce HUGEINT — oracles must CAST(... AS BIGINT)
+  to match Spark's LongType.
+- Timestamps never appear raw in outputs: cast to epoch microseconds
+  (Spark ``unix_micros`` under a UTC session == DuckDB ``epoch_us``) or to
+  ISO date strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kse.catalog import load, register_views
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table for a query builder."""
+    return load(spark, sf_dir, name)
+
+
+def sql_q(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
+    """SQL-path entry (SURVEY.md §3.2): register the needed tables as temp
+    views under their canonical names and run Spark SQL. Used where the
+    DataFrame API lacks a construct (GROUPING SETS) or where SQL is simply
+    the clearer expression; the text is kept DuckDB-compatible when the
+    dialects agree so the oracle can be byte-identical."""
+    register_views(spark, sf_dir, tables)
+    return spark.sql(sql)
+
+
+def dsum(c: Column, alias: str) -> Column:
+    """Order-independent, cross-engine-exact sum of a double expression.
+
+    Rounding a float sum is boundary-fragile: Spark and DuckDB accumulate
+    in different orders, so sums differ by ~1e-9 relative and any rounding
+    quantum occasionally straddles a boundary (observed in practice).
+    Instead: cast each value to DECIMAL(20,6) (identical per-row rounding
+    in both engines — ties are unrepresentable in binary doubles), sum
+    exactly in decimal, cast the exact result back to double. Bit-for-bit
+    equal on both engines as long as the sum stays under 2^53 quanta
+    (~9e9 at 6 dp) — true at every test sf.
+
+    Oracle twin: ``CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS alias``.
+    """
+    return F.sum(c.cast("decimal(20,6)")).cast("double").alias(alias)
+
+
+def r4(c: Column, alias: str) -> Column:
+    """Average-scale double aggregate: round to 4 dp."""
+    return F.round(c, 4).alias(alias)
+
+
+def r6(c: Column, alias: str) -> Column:
+    """Small-magnitude double (ratios, correlations): round to 6 dp."""
+    return F.round(c, 6).alias(alias)
+
+
+def ts_us(c: Column) -> Column:
+    """Timestamp-NTZ -> epoch microseconds (bigint), matching DuckDB
+    ``epoch_us``. Session timezone is pinned to UTC (kse.session) so the
+    NTZ -> instant interpretation is identical."""
+    return F.unix_micros(c.cast("timestamp"))

@@ -1,0 +1,385 @@
+"""Scalar function surface (SURVEY.md §2.8): strings, dates, math, casts,
+JSON, arrays, higher-order lambdas, maps, hashing, null-handling.
+
+All functions run JVM-side inside whole-stage codegen — no Python UDFs in
+this module. Oracle-parity notes are inline where Spark and DuckDB semantics
+diverge (dayofweek numbering, floor/ceil return types, double→int cast
+rounding, list_position null behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kse.queries._util import r6, t
+from kse.registry import register
+
+# ---------------------------------------------------------------------------
+# strings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+SELECT doc_id,
+       upper(substr(text, 1, 12)) AS head_u,
+       length(text) AS n_len,
+       concat(lang, '-', source) AS tag,
+       lpad(lang, 5, '_') AS lang_pad,
+       CAST(instr(text, 'a') AS BIGINT) AS pos_a,
+       replace(substr(text, 1, 20), ' ', '_') AS head_us,
+       trim(' ' || lang || ' ') AS lang_trim,
+       regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+       regexp_replace(substr(text, 1, 20), '[aeiou]', '*', 'g') AS devowel,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+FROM documents
+""",
+    doc="String function battery over documents (concat/substr/case/trim/"
+    "pad/instr/replace/regexp/split).",
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head_u"),
+        F.length("text").cast("bigint").alias("n_len"),
+        F.concat_ws("-", "lang", "source").alias("tag"),
+        F.lpad("lang", 5, "_").alias("lang_pad"),
+        F.instr(F.col("text"), "a").cast("bigint").alias("pos_a"),
+        F.replace(F.substring("text", 1, 20), F.lit(" "), F.lit("_")).alias("head_us"),
+        F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("lang_trim"),
+        F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.substring("text", 1, 20), "[aeiou]", "*").alias("devowel"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dates / timestamps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS d,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow
+FROM orders
+""",
+    doc=(
+        "Date/timestamp functions on o_orderdate. Parity notes: Spark "
+        "dayofweek is 1=Sunday..7, DuckDB dow is 0=Sunday..6 → Spark side "
+        "subtracts 1; date outputs serialize as ISO strings (never raw "
+        "timestamps — SURVEY.md §7.6)."
+    ),
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    odate = od.cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("y"),
+        F.month(od).alias("m"),
+        F.dayofmonth(od).alias("d"),
+        F.quarter(od).alias("q"),
+        F.date_trunc("month", od).cast("date").cast("string").alias("month_start"),
+        F.datediff(odate, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_add(odate, 30).cast("string").alias("plus30"),
+        F.last_day(odate).cast("string").alias("eom"),
+        (F.dayofweek(odate) - 1).alias("dow"),
+    )
+
+
+@register(
+    "q_fn_date_events",
+    oracle="""
+SELECT CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS mi,
+       CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2, 3
+""",
+    doc="Sub-day time parts over the event stream's ns-precision timestamps.",
+)
+def q_fn_date_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.hour("ts").alias("h"),
+            F.minute("ts").alias("mi"),
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"),
+        )
+        .groupBy("h", "mi", "day")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# math
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 2) AS price_r2,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       abs(l_discount - 0.05) AS disc_dev,
+       l_quantity * l_quantity AS qty_sq,
+       sqrt(l_quantity) AS qty_sqrt,
+       round(exp(l_discount), 6) AS disc_exp,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       round(log10(l_extendedprice), 6) AS price_log10,
+       l_linenumber % 3 AS ln_mod,
+       CAST(sign(l_discount - 0.03) AS INT) AS disc_sign,
+       greatest(l_quantity, 25.0) AS qty_hi,
+       least(l_quantity, 25.0) AS qty_lo
+FROM lineitem
+""",
+    doc=(
+        "Math battery. Parity: floor/ceil cast to BIGINT on both sides "
+        "(Spark returns LONG, DuckDB DOUBLE); squares via x*x not pow() "
+        "(libm pow may differ in the last ulp across engines); "
+        "transcendentals rounded to 6 dp; sqrt is IEEE-correctly-rounded "
+        "in both so it needs no rounding."
+    ),
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(p, 2).alias("price_r2"),
+        F.floor(p).alias("price_floor"),
+        F.ceil(p).alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (q * q).alias("qty_sq"),
+        F.sqrt(q).alias("qty_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log(p), 6).alias("price_ln"),
+        F.round(F.log10(p), 6).alias("price_log10"),
+        (F.col("l_linenumber") % 3).alias("ln_mod"),
+        F.signum(F.col("l_discount") - 0.03).cast("int").alias("disc_sign"),
+        F.greatest(q, F.lit(25.0)).alias("qty_hi"),
+        F.least(q, F.lit(25.0)).alias("qty_lo"),
+    )
+
+
+@register(
+    "q_fn_cast",
+    oracle="""
+SELECT l_orderkey,
+       CAST(l_linenumber AS DOUBLE) AS ln_d,
+       CAST(l_orderkey AS VARCHAR) AS ok_s,
+       CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS ln_rt,
+       CAST(floor(l_quantity) AS INT) AS qty_trunc,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day
+FROM lineitem
+""",
+    doc=(
+        "Cast battery. Parity trap: CAST(double AS INT) truncates in Spark "
+        "but rounds in DuckDB — truncation is expressed as floor() on both "
+        "sides (values are positive); double→string is avoided entirely "
+        "(formatting differs)."
+    ),
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("double").alias("ln_d"),
+        F.col("l_orderkey").cast("string").alias("ok_s"),
+        F.col("l_linenumber").cast("string").cast("int").alias("ln_rt"),
+        F.floor("l_quantity").cast("int").alias("qty_trunc"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type, k
+""",
+    doc=(
+        "JSON extraction from events.props ({\"k\": int} — FIXTURES.md), "
+        "the core KSE transform [R]: parse → project → aggregate. "
+        "from_json with an explicit schema (not schema inference) is the "
+        "100 TB path; get_json_object compiles to a JVM JSON path walk."
+    ),
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "value",
+        )
+        .groupBy("event_type", "k")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# arrays + higher-order functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       string_split(text, ' ')[1] AS first_token,
+       list_contains(string_split(text, ' '), 'the') AS has_the,
+       CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS the_pos,
+       array_to_string(list_slice(string_split(text, ' '), 1, 3), ',') AS head3,
+       array_to_string(list_sort(list_distinct(list_slice(string_split(text, ' '), 1, 8))), ',') AS head_vocab
+FROM documents
+""",
+    doc=(
+        "Array functions over tokenized text. Parity: Spark array_position "
+        "returns 0 when absent, DuckDB list_position returns NULL → oracle "
+        "coalesces; arrays serialize via array_to_string so the hash is "
+        "representation-independent."
+    ),
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.element_at(tok, 1).alias("first_token"),
+        F.array_contains(tok, "the").alias("has_the"),
+        F.array_position(tok, "the").alias("the_pos"),
+        F.array_join(F.slice(tok, 1, 3), ",").alias("head3"),
+        F.array_join(F.array_sort(F.array_distinct(F.slice(tok, 1, 8))), ",").alias(
+            "head_vocab"
+        ),
+    )
+
+
+@register(
+    "q_fn_array_higher_order",
+    oracle="""
+SELECT vec_id, label,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       round(list_sum(list_transform(list_filter(embedding, x -> x > 0),
+             x -> CAST(x AS DOUBLE))), 6) AS sum_pos
+FROM embeddings
+""",
+    doc=(
+        "Higher-order lambdas (transform/filter/aggregate) computing vector "
+        "norms JVM-side — no Python crossing. float32*float32 promoted to "
+        "double is exact (24-bit mantissas), both engines fold "
+        "left-to-right, so only the final round(6) guards the hash."
+    ),
+)
+def q_fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "embeddings")
+    sq_sum = F.expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    pos_sum = F.expr(
+        "aggregate(filter(embedding, x -> x > 0), CAST(0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE))"
+    )
+    return d.select(
+        "vec_id",
+        "label",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(pos_sum, 6).alias("sum_pos"),
+    )
+
+
+@register(
+    "q_fn_map",
+    oracle=None,  # map construction/inspection — no map column in testdata
+    doc="Map functions over a map synthesized from events columns "
+    "(create_map/map_keys/element_at); rows-only check per SURVEY §2.8.",
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("k"), F.get_json_object("props", "$.k")
+    )
+    return e.select(
+        "event_id",
+        m.alias("m"),
+        F.map_keys(m).alias("keys"),
+        F.element_at(m, F.lit("type")).alias("type_val"),
+        F.size(m).alias("m_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashing / null handling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_hash",
+    oracle="""
+SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+FROM documents
+""",
+    doc="Content hashing for dedup keys (md5/sha256 are cross-engine "
+    "stable; xxhash64 is Spark-internal and used only inside "
+    "q_llm_dedup_* where no oracle parity is needed).",
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+    )
+
+
+@register(
+    "q_fn_null",
+    oracle="""
+SELECT o_orderkey,
+       coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_c,
+       ifnull(nullif(o_orderpriority, '5-LOW'), 'low') AS prio_c,
+       nullif(o_orderstatus, 'F') IS NULL AS was_f
+FROM orders
+""",
+    doc="coalesce / nullif / ifnull / null-predicates.",
+)
+def q_fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.expr("nullif(o_orderstatus, 'P')"), F.lit("pending")).alias("status_c"),
+        F.ifnull(F.expr("nullif(o_orderpriority, '5-LOW')"), F.lit("low")).alias("prio_c"),
+        F.expr("nullif(o_orderstatus, 'F')").isNull().alias("was_f"),
+    )

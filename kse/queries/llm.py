@@ -1,0 +1,740 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.10, driver-mandated).
+
+Deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+near-dup), similarity search (brute-force kNN + LSH-bucketed ANN), text
+analysis (token stats, language-ID, quality gates, TF-IDF, fingerprints),
+and multimodal column plumbing.
+
+Design rules for 100 TB (stated per operator below):
+
+- Everything is shuffle-bounded DataFrame ops; no driver-side loops, no
+  collect() of data-scale results. Randomness (LSH planes, hash seeds) is
+  derived from deterministic hash functions of literals, never an RNG, so
+  results are reproducible across runs and cluster sizes.
+- Candidate-pair generation always goes through a bucketing key (hash band,
+  LSH bucket) so the self-join is an equi-join on the bucket — never an
+  all-pairs cross join.
+- Python appears only where vector math genuinely beats JVM lambdas
+  (see kse/queries/udfs.py for the Arrow-vectorized variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kse.queries._util import r4, t
+from kse.registry import register
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_llm_dedup_exact",
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+""",
+    doc=(
+        "Exact dedup: keep the lowest doc_id per distinct text. One hash "
+        "shuffle on the text (in production: on xxhash64(text) so 100 KB "
+        "documents shuffle as 8-byte keys + a residual equality check). "
+        "sf0.1 contains 8 duplicate pairs (FIXTURES.md) which this removes."
+    ),
+)
+def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def _shingle() -> F.Column:
+    return F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+
+_NUM_HASHES = 16
+_BAND_ROWS = 4  # 4 bands x 4 rows; P(candidate) = 1-(1-j^4)^4 — steep at j≈0.8
+
+
+def _minhash_sigs(d: DataFrame) -> DataFrame:
+    """(doc_id, seed, minhash) — one row per doc per hash function.
+
+    Shingle → explode → xxhash64(seed, shingle) → min per (doc, seed).
+    All JVM-side; the explode is the only data blow-up (n_tokens × "
+    "NUM_HASHES) and collapses in the map-side partial min."""
+    sh = d.select("doc_id", F.explode(_shingle()).alias("shingle"))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .select("doc_id", "seed", F.xxhash64("seed", "shingle").alias("h"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_candidate_pairs(d: DataFrame) -> DataFrame:
+    """LSH banding: band signature = md5 of the band's minhashes in seed
+    order; docs sharing any (band, signature) bucket become candidate
+    pairs (doc_a < doc_b). The pair join is an equi-join on the bucket —
+    the scale-critical property (no cross join)."""
+    sigs = _minhash_sigs(d)
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / _BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "q_llm_dedup_minhash",
+    oracle=None,  # MinHash signatures are Spark-hash-specific — rows-only
+    doc=(
+        "MinHash + LSH near-dup detection (Broder '97), pure DataFrame ops: "
+        "3-token shingles → 16 minhashes (xxhash64, seeded by literal) → 4 "
+        "bands of 4 → equi-join on (band, signature). Output: one row per "
+        "doc with its candidate-duplicate count (0 for unique docs), so the "
+        "result is non-empty at every sf; pytest asserts the 8 planted "
+        "sf0.1 duplicate pairs are all found."
+    ),
+)
+def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(d)
+    cnt = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_candidates"))
+    )
+    return (
+        d.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select("doc_id", F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"))
+    )
+
+
+@register(
+    "q_llm_dedup_simhash",
+    oracle=None,  # depends on Spark's xxhash64 — rows-only
+    doc=(
+        "SimHash document fingerprint (63-bit, Charikar '02), all JVM-side: "
+        "per-token xxhash64 → per-bit ±count contributions (posexplode of a "
+        "63-slot lambda array) → sign → weighted bit reassembly into one "
+        "BIGINT per doc. Near-dup groups = equal fingerprints (or small "
+        "Hamming distance via 4-segment bucketing at scale). The 63x row "
+        "blow-up collapses in map-side partial aggregation."
+    ),
+)
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("th", F.xxhash64(F.lit(7), "token"))
+    )
+    # contribution vector: +cnt when bit i of token-hash is set, else -cnt
+    contrib = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 62),"
+                " i -> CASE WHEN ((th >> i) & 1) = 1 THEN cnt ELSE -cnt END)"
+            )
+        ).alias("bit", "c"),
+    )
+    return (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+@register(
+    "q_llm_dedup_ngram_jaccard",
+    oracle=None,  # candidates come from Spark-hash MinHash — rows-only
+    doc=(
+        "Exact n-gram Jaccard verification over MinHash candidates: per "
+        "doc, the max 3-gram Jaccard among its LSH candidate partners "
+        "(0.0 when it has none — output is one row per doc, never empty). "
+        "Jaccard runs on shingle arrays via array_intersect/array_union "
+        "sizes — JVM lambdas, only on the candidate set, never all pairs."
+    ),
+)
+def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    shingled = d.select("doc_id", F.array_distinct(_shingle()).alias("sh"))
+    pairs = minhash_candidate_pairs(d)
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    jac = (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+    )
+    per_doc = (
+        jac.select(F.col("doc_a").alias("doc_id"), "jaccard")
+        .union(jac.select(F.col("doc_b").alias("doc_id"), "jaccard"))
+        .groupBy("doc_id")
+        .agg(F.max("jaccard").alias("max_jaccard"))
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", F.round(F.coalesce("max_jaccard", F.lit(0.0)), 6).alias("max_jaccard"))
+    )
+
+
+@register(
+    "q_llm_fingerprint",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(tok) - 2, 1) + 1),
+            i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS shingles
+  FROM tk
+)
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> md5(s))) AS fingerprint,
+       CAST(len(list_distinct(shingles)) AS INT) AS n_shingles
+FROM sh
+""",
+    doc=(
+        "Rolling 3-gram document fingerprint: min-md5 over shingles (a "
+        "1-perm MinHash with a cross-engine-stable hash). Identical texts "
+        "⇒ identical fingerprints; used as a cheap pre-cluster key. "
+        "Per-row lambda work only — embarrassingly parallel."
+    ),
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform(_shingle(), F.md5)).alias("fingerprint"),
+        F.size(F.array_distinct(_shingle())).alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _dot_q() -> F.Column:
+    return F.expr(
+        "aggregate(zip_with(embedding, q_embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+_NORM = "sqrt(aggregate(transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),\
+ CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+
+
+@register(
+    "q_llm_sim_knn",
+    oracle="""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label,
+         list_sum(list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS cos_raw
+  FROM embeddings, q
+  WHERE vec_id <> 0
+)
+SELECT vec_id, label, round(cos_raw, 4) AS cos_sim
+FROM scored
+QUALIFY row_number() OVER (ORDER BY cos_raw DESC, vec_id) <= 10
+""",
+    doc=(
+        "Brute-force top-k cosine kNN: broadcast the query vector, score "
+        "every row with JVM higher-order lambdas (no Python), take global "
+        "top-10 via TakeOrdered (per-partition top-k + driver merge of k "
+        "rows — never a global sort). This is the exact baseline; "
+        "q_llm_sim_lsh_ann is the sub-linear scale path. Batch-of-queries "
+        "variant: broadcast the query *table* and window per query_id."
+    ),
+)
+def q_llm_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_raw",
+            _dot_q()
+            / (
+                F.expr(_NORM.format(c="embedding"))
+                * F.expr(_NORM.format(c="q_embedding"))
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+_N_PLANES = 8
+
+
+def _lsh_bucket(col_name: str) -> F.Column:
+    """Deterministic random-hyperplane LSH bucket id (8 bits).
+
+    Plane j's component i is a pseudo-random ±1 derived from xxhash64(j, i)
+    — a literal-seeded hash, not an RNG, so every executor (and every rerun)
+    derives identical planes with no broadcast of plane data at all."""
+    bits = []
+    for j in range(_N_PLANES):
+        proj = F.expr(
+            f"aggregate(zip_with({col_name}, transform(sequence(1, 64),"
+            f" i -> CASE WHEN (xxhash64({j}, i) & 1) = 1 THEN 1.0 ELSE -1.0 END),"
+            " (x, p) -> CAST(x AS DOUBLE) * p),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.alias("bucket")
+
+
+@register(
+    "q_llm_sim_lsh_ann",
+    oracle=None,  # LSH bucketing is plane-derivation-specific — rows-only
+    doc=(
+        "Approximate NN via random-hyperplane LSH: 8 deterministic planes "
+        "→ 256 buckets → exact cosine rerank only within the query's "
+        "bucket (equi-join on bucket id, no cross join). Returns top-3 "
+        "neighbours for each of 8 query vectors. At 100 TB: multi-probe "
+        "(flip lowest-margin bits) to trade recall for fan-out, and "
+        "bucket-partitioned parquet so probes prune partitions."
+    ),
+)
+def q_llm_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "label", "embedding", _lsh_bucket("embedding"))
+    queries = bucketed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = bucketed.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.withColumn(
+        "cos_raw",
+        _dot_q()
+        / (F.expr(_NORM.format(c="embedding")) * F.expr(_NORM.format(c="q_embedding"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_raw", 4).alias("cos_sim"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+@register(
+    "q_llm_dedup_embed",
+    oracle=None,  # bucket-restricted — rows-only
+    doc=(
+        "Embedding-cosine near-dup: per vector, the max cosine to any "
+        "*other* vector in its LSH bucket (bucket equi-self-join — the "
+        "all-pairs O(n²) never materializes). Vectors in singleton buckets "
+        "report -1.0. Output: one row per vector at every sf."
+    ),
+)
+def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "embedding", _lsh_bucket("embedding"))
+    a = bucketed.alias("a")
+    b = bucketed.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("bucket").alias("b_bucket"),
+    )
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b_bucket")) & (F.col("a.vec_id") != F.col("b_vec_id"))
+    )
+    scored = pairs.withColumn(
+        "cos_raw",
+        F.expr(
+            "aggregate(zip_with(a.embedding, q_embedding,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        / (F.expr(_NORM.format(c="a.embedding")) * F.expr(_NORM.format(c="q_embedding"))),
+    )
+    mx = scored.groupBy(F.col("a.vec_id").alias("vec_id")).agg(
+        F.round(F.max("cos_raw"), 4).alias("max_bucket_cos")
+    )
+    return (
+        e.select("vec_id")
+        .join(mx, "vec_id", "left")
+        .select("vec_id", F.coalesce("max_bucket_cos", F.lit(-1.0)).alias("max_bucket_cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_llm_text_stats",
+    oracle="""
+WITH per_doc AS (
+  SELECT lang, source, n_chars,
+         len(string_split(text, ' ')) AS ws_tokens,
+         len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+       CAST(sum(re_tokens) AS BIGINT) AS sum_re_tokens,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(CAST(n_chars AS DOUBLE) / ws_tokens), 4) AS avg_chars_per_token,
+       count(DISTINCT source) AS n_sources
+FROM per_doc GROUP BY lang
+""",
+    doc=(
+        "Corpus statistics per language: whitespace + regex ('BPE-ish') "
+        "token counts, char/token ratios, source diversity. Single "
+        "map+aggregate pass; the per-doc lambda work never leaves the JVM."
+    ),
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("re_tokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("sum_ws_tokens"),
+        F.sum("re_tokens").cast("bigint").alias("sum_re_tokens"),
+        r4(F.avg("n_chars"), "avg_chars"),
+        r4(F.avg(F.col("n_chars").cast("double") / F.col("ws_tokens")), "avg_chars_per_token"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "q_llm_text_tokens",
+    oracle="""
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+""",
+    doc=(
+        "Corpus word-count, top-20 (the classic Spark demo op [R]): "
+        "explode → map-side partial count → shuffle 1 row per distinct "
+        "token per partition → TakeOrdered top-20."
+    ),
+)
+def q_llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_llm_lang_id",
+    oracle=None,  # heuristic scorer — rows-only (pytest checks determinism)
+    doc=(
+        "Heuristic language-ID: score = stopword-lexicon hit count per "
+        "candidate language over the token set, argmax wins ('und' when "
+        "all scores are 0). Lexicons are literal arrays shipped in the "
+        "plan; per-row lambda work only, embarrassingly parallel. (The "
+        "testdata's text is English-ish for every lang label — "
+        "FIXTURES.md — so this demonstrates mechanism, not accuracy.)"
+    ),
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lexicons = {
+        "en": ["the", "of", "and", "to", "in", "is", "it", "that"],
+        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+        "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+        "fr": ["le", "la", "de", "et", "un", "est", "que", "pour"],
+        "zh": ["de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"],
+    }
+    d = t(spark, sf_dir, "documents")
+    tok = F.split(F.lower("text"), " ")
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[
+            F.size(F.array_intersect(F.array_distinct(tok), F.array(*map(F.lit, words)))).alias(
+                f"score_{lang}"
+            )
+            for lang, words in lexicons.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in lexicons])
+    pred = F.when(best <= 0, "und")
+    for lang in lexicons:  # first max wins, fixed iteration order = deterministic
+        pred = pred.when(F.col(f"score_{lang}") == best, lang)
+    return scored.select("doc_id", "actual_lang", pred.alias("pred_lang"), best.alias("score"))
+
+
+@register(
+    "q_llm_quality_filter",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> list_contains(['the','of','and','to','in','a','is','it'], x))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, stop_ratio
+FROM scored
+WHERE n_tokens BETWEEN 8 AND 120 AND chars_per_token BETWEEN 3 AND 12
+""",
+    doc=(
+        "Heuristic quality gates (length band, chars-per-token band, "
+        "stopword ratio reported) — standard LLM-corpus cleaning. Pure "
+        "filter chain: predicate-pushdown-friendly, no shuffle at all."
+    ),
+)
+def q_llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    stops = F.array(*map(F.lit, ["the", "of", "and", "to", "in", "a", "is", "it"]))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(tok).alias("n_tokens"),
+        (
+            F.size(F.filter(F.split(F.lower("text"), " "), lambda x: F.array_contains(stops, x))).cast(
+                "double"
+            )
+            / F.size(tok)
+        ).alias("stop_ratio"),
+        (F.col("n_chars").cast("double") / F.size(tok)).alias("chars_per_token"),
+    )
+    return scored.filter(
+        F.col("n_tokens").between(8, 120) & F.col("chars_per_token").between(3, 12)
+    ).select("doc_id", "lang", "n_tokens", "stop_ratio")
+
+
+@register(
+    "q_llm_tfidf",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+QUALIFY row_number() OVER (PARTITION BY doc_id
+        ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, token) <= 5
+""",
+    doc=(
+        "TF-IDF, top-5 terms per document: two aggregations (tf, df) + "
+        "broadcast-joined df table + window top-k. df is vocabulary-sized "
+        "(≪ corpus) so it broadcasts at any corpus scale; n_docs is a "
+        "1-row broadcast cross join."
+    ),
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_raw", F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round("tfidf_raw", 6).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings stats + multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_llm_embed_stats",
+    oracle="""
+WITH dims AS (
+  SELECT label, r.range AS pos, CAST(embedding[r.range + 1] AS DOUBLE) AS val, vec_id
+  FROM embeddings, range(64) r
+),
+centroid AS (
+  SELECT label, pos, avg(val) AS c FROM dims GROUP BY label, pos
+),
+norms AS (
+  SELECT vec_id, label,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT n.label,
+       count(*) AS n_vecs,
+       round(avg(n.nrm), 6) AS avg_norm,
+       round(any_value(c.cnorm), 6) AS centroid_norm
+FROM norms n
+JOIN (SELECT label, sqrt(sum(c * c)) AS cnorm FROM centroid GROUP BY label) c
+  ON n.label = c.label
+GROUP BY n.label
+""",
+    doc=(
+        "Per-label embedding statistics: average L2 norm and centroid "
+        "norm. Centroid via posexplode → (label, dim) partial avg — a "
+        "64x row blow-up that collapses map-side; the 640-row centroid "
+        "table then broadcasts. No Python, no driver collection."
+    ),
+)
+def q_llm_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    centroid = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm"))
+    )
+    norms = e.select("vec_id", "label", F.expr(_NORM.format(c="embedding")).alias("nrm"))
+    return (
+        norms.join(F.broadcast(centroid), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.first("cnorm"), 6).alias("centroid_norm"),
+        )
+    )
+
+
+@register(
+    "q_llm_multimodal",
+    oracle=None,  # synthesized binary payloads — rows-only
+    doc=(
+        "Multimodal column plumbing: documents gain a BINARY payload + "
+        "typed metadata struct (the image/audio/video pattern — at 100 TB "
+        "these are parquet binary columns or binaryFile-format pointers). "
+        "The 'decode' stage is a mapInPandas Arrow pass with a REAL "
+        "schema/batch contract and a deterministic fake decoder (media "
+        "codecs aren't in this container — SURVEY.md §2.10); swap "
+        "`_fake_decode` for PIL/ffmpeg on a real cluster. Batch shape, "
+        "partitioning, and UDF signature are production-real and tested."
+    ),
+)
+def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    with_blob = d.select(
+        "doc_id",
+        F.encode(F.substring("text", 1, 32), "utf-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 64 + 16).cast("int").alias("w"),
+            (F.col("n_chars") % 48 + 12).cast("int").alias("h"),
+            F.lit("image/fake").alias("mime"),
+        ).alias("meta"),
+    )
+
+    def _fake_decode(batches):
+        # Deterministic stand-in for an image decode: consumes Arrow batches
+        # of (doc_id, payload, meta), emits per-item features. A real
+        # decoder would call PIL here; the Spark-side contract is identical.
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["n_bytes"] = pdf["payload"].map(len).astype("int64")
+            out["width"] = pdf["meta"].map(lambda m: m["w"]).astype("int32")
+            out["height"] = pdf["meta"].map(lambda m: m["h"]).astype("int32")
+            out["checksum"] = pdf["payload"].map(lambda b: sum(b) % 65536).astype("int64")
+            yield out
+
+    return with_blob.mapInPandas(
+        _fake_decode,
+        schema="doc_id bigint, n_bytes bigint, width int, height int, checksum bigint",
+    )

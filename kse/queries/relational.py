@@ -1,0 +1,966 @@
+"""Relational core: scans, filters, joins, aggregation, sort/limit/top-k,
+set operations (SURVEY.md §2.1-2.4, §2.6-2.7).
+
+Reference parity: the reference (sekaiamber/KSE-Sample; mount empty at
+survey time — SURVEY.md §0) is a Kafka→Spark→Elasticsearch sample whose
+batch-relational surface is inherited from Spark itself; the inventory here
+is the driver-mandated capability set, one oracle-checked query per operator.
+
+Scale posture (100 TB): every builder is a declarative DataFrame plan —
+Catalyst gets full pushdown/pruning freedom, AQE re-plans shuffles at
+runtime. Fact⋈fact joins shuffle on join keys (sort-merge / shuffled-hash,
+Catalyst's call); fact⋈dim joins broadcast the dim explicitly. Nothing here
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kse.queries._util import dsum, r4, r6, sql_q, t
+from kse.registry import register
+
+# ---------------------------------------------------------------------------
+# §2.1 scans
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="Full parquet scan, schema as stored.",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "q_scan_projection_pushdown",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+    doc=(
+        "Column-subset scan. At 100 TB the difference between reading 2 and "
+        "11 columns is the whole game; the test suite asserts ReadSchema in "
+        "the physical plan contains only the projected columns."
+    ),
+)
+def q_scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@register(
+    "src_producer",
+    oracle="""
+SELECT range AS event_id,
+       1704067200000000 + range * 60000000 AS ts_us,
+       range % 100 AS user_id,
+       ['click','view','purchase','signup','error'][CAST(range % 5 AS INT) + 1] AS event_type,
+       CAST(range * 37 % 1000 AS DOUBLE) / 100.0 AS value,
+       '{"k": ' || CAST(range % 100 AS VARCHAR) || '}' AS props
+FROM range(1000)
+""",
+    doc=(
+        "Deterministic event generator — the batch image of the reference's "
+        "Kafka producer (SURVEY.md §2.1 src_producer, [R]). spark.range is "
+        "a parallel, partitioned source: generating 10^12 rows just means "
+        "more partitions, no driver involvement."
+    ),
+)
+def src_producer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = F.array(*[F.lit(s) for s in ["click", "view", "purchase", "signup", "error"]])
+    return (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.lit(1704067200000000) + F.col("id") * 60000000).alias("ts_us"),
+            (F.col("id") % 100).alias("user_id"),
+            F.element_at(types, (F.col("id") % 5).cast("int") + 1).alias("event_type"),
+            ((F.col("id") * 37 % 1000).cast("double") / 100.0).alias("value"),
+            F.concat(F.lit('{"k": '), (F.col("id") % 100).cast("string"), F.lit("}")).alias(
+                "props"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_project_select",
+    oracle="""
+SELECT l_orderkey, l_linenumber AS line_no,
+       l_extendedprice * (1 - l_discount) AS disc_price,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem
+""",
+    doc="Projection with renames and computed columns (per-row math is "
+    "bitwise-identical across engines; no rounding needed).",
+)
+def q_project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("line_no"),
+        disc.alias("disc_price"),
+        (disc * (1 + F.col("l_tax"))).alias("charge"),
+    )
+
+
+@register(
+    "q_filter_comparison",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_quantity > 45.0
+""",
+    doc="Comparison predicates; pushed to the parquet scan (PushedFilters).",
+)
+def q_filter_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "q_filter_compound",
+    oracle="""
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE (l_discount > 0.05 AND l_tax < 0.04) OR NOT (l_returnflag = 'A')
+""",
+    doc="AND/OR/NOT compound predicates.",
+)
+def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cond = ((F.col("l_discount") > 0.05) & (F.col("l_tax") < 0.04)) | ~(
+        F.col("l_returnflag") == "A"
+    )
+    return t(spark, sf_dir, "lineitem").filter(cond).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q_filter_in",
+    oracle="""
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus NOT IN ('P')
+""",
+    doc="IN-list / NOT IN.",
+)
+def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & ~F.col("o_orderstatus").isin("P")
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "q_filter_between",
+    oracle="""
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31 23:59:59'
+""",
+    doc="BETWEEN on timestamps (min/max pushed to parquet row-group stats).",
+)
+def q_filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").between("1996-01-01", "1996-12-31 23:59:59"))
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q_filter_like",
+    oracle="""
+SELECT p_partkey, p_name, p_type FROM part
+WHERE p_type LIKE '%ECONOMY%' OR p_name LIKE 'red%' OR p_name LIKE '%bolt%'
+""",
+    doc="LIKE prefix/contains patterns.",
+)
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%ECONOMY%")
+        | F.col("p_name").like("red%")
+        | F.col("p_name").like("%bolt%")
+    ).select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+@register(
+    "q_filter_null",
+    oracle="""
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE NULLIF(o_orderstatus, 'P') IS NULL AND o_totalprice IS NOT NULL
+""",
+    doc="IS NULL / IS NOT NULL over a synthesized-null column (testdata has "
+    "no physical nulls — FIXTURES.md).",
+)
+def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        F.expr("nullif(o_orderstatus, 'P')").isNull() & F.col("o_totalprice").isNotNull()
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "q_case_when",
+    oracle="""
+SELECT CASE WHEN o_totalprice > 40000 THEN 'big'
+            WHEN o_totalprice > 20000 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       count(*) AS n
+FROM orders GROUP BY 1
+""",
+    doc="CASE WHEN conditional projection.",
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") > 40000, "big")
+        .when(F.col("o_totalprice") > 20000, "mid")
+        .otherwise("small")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_inner_hash",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+""",
+    doc=(
+        "Large⋈large equi-join (lineitem⋈orders). Both sides shuffle on the "
+        "orderkey; Catalyst picks SMJ/shuffled-hash, AQE converts to "
+        "broadcast if the filtered orders side turns out small at runtime. "
+        "At 100 TB: bucket both tables by orderkey to make this shuffle-free."
+    ),
+)
+def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1997-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+SELECT p_brand, count(*) AS n_lines, CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10
+GROUP BY p_brand
+""",
+    doc=(
+        "Fact⋈dim with explicit broadcast(part): no shuffle of the 100 TB "
+        "fact side, the dim ships to every executor once. The test suite "
+        "asserts BroadcastHashJoin appears in the plan."
+    ),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_lines"), dsum(F.col("l_quantity"), "sum_qty"))
+    )
+
+
+@register(
+    "q_join_sortmerge",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc=(
+        "Sort-merge join path, pinned via the merge hint — proves the "
+        "spill-safe large⋈large strategy works irrespective of AQE's "
+        "broadcast preference at test scale."
+    ),
+)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice"), "sum_price"))
+    )
+
+
+@register(
+    "q_join_multiway",
+    oracle="""
+SELECT r_name, n_name, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+GROUP BY r_name, n_name
+""",
+    doc=(
+        "4-table star chain. Dims (region, nation) broadcast; the "
+        "customer⋈orders edge is the only real shuffle. Hand-ordered "
+        "smallest-first; AQE + CBO may reorder further."
+    ),
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice"), "sum_price"))
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+    doc="Left outer join preserving order-less customers (count(col) skips "
+    "the null-extended rows in both engines).",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="Right outer join (kept-side is customer).",
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(c, c.c_custkey == o.o_custkey, "right")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_rows"), F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+SELECT count(*) AS n_rows, count(c_custkey) AS n_cust_side, count(o_orderkey) AS n_order_side
+FROM customer FULL JOIN orders ON o_custkey = c_custkey
+""",
+    doc="Full outer join; the three counts expose both unmatched sides.",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "full").agg(
+        F.count("*").alias("n_rows"),
+        F.count("c_custkey").alias("n_cust_side"),
+        F.count("o_orderkey").alias("n_order_side"),
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 45000)
+""",
+    doc="Left-semi join (EXISTS): no duplication, no columns from the "
+    "probe side — cheaper than join+distinct at scale.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 45000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    doc="Left-anti join (NOT EXISTS): customers with no large orders.",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+SELECT s_suppkey, count(*) AS n_parts
+FROM supplier JOIN part
+  ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 500
+GROUP BY s_suppkey
+""",
+    doc=(
+        "Non-equi (band) theta join → BroadcastNestedLoopJoin with the tiny "
+        "supplier side broadcast. At 100 TB a raw theta join is O(n*m); the "
+        "scalable rewrite is range-bucketing both sides on the band key "
+        "(see q_join_range_asof) — kept raw here to exercise the strategy."
+    ),
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part")
+    cond = F.col("p_retailprice").between(F.col("s_acctbal"), F.col("s_acctbal") + 500)
+    return (
+        F.broadcast(s)
+        .join(p, cond, "inner")
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@register(
+    "q_join_range_asof",
+    oracle="""
+SELECT event_id, o_orderkey AS asof_orderkey
+FROM events JOIN orders
+  ON o_custkey = user_id AND o_orderdate <= ts
+QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+""",
+    doc=(
+        "As-of join: each event matched to the latest order of the same "
+        "user at-or-before the event time. Spark has no native as-of; this "
+        "uses conditional-join + per-event row_number. Scale note: the "
+        "shuffle is on user_id (both sides), so the join is co-partitioned; "
+        "the window repartitions by event_id. For 100 TB time-series, the "
+        "production path is range-bucketed sort-merge within "
+        "applyInPandas(merge_asof) per key-bucket — same semantics, one "
+        "shuffle, documented in kse/queries/windows.py tests."
+    ),
+)
+def q_join_range_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    o = t(spark, sf_dir, "orders")
+    joined = e.join(
+        o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts.cast("timestamp_ntz")), "inner"
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+    )
+
+
+@register(
+    "q_join_self",
+    oracle="""
+SELECT a.l_linenumber AS ln_a, b.l_linenumber AS ln_b, count(*) AS n_pairs
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+GROUP BY a.l_linenumber, b.l_linenumber
+""",
+    doc="Self-join: line-item pairs within an order (co-partitioned on the "
+    "shared orderkey, so one shuffle serves both sides).",
+)
+def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        )
+        .groupBy(
+            F.col("a.l_linenumber").alias("ln_a"), F.col("b.l_linenumber").alias("ln_b")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_global",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       min(l_shipdate) = TIMESTAMP '1995-01-02' AS min_ship_ok
+FROM lineitem
+""",
+    doc="Ungrouped aggregates (single-row result; partial+final automatic).",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+        r4(F.avg("l_extendedprice"), "avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        (F.min("l_shipdate") == F.lit("1995-01-02").cast("timestamp_ntz")).alias("min_ship_ok"),
+    )
+
+
+@register(
+    "q_agg_groupby",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc=(
+        "FLAGSHIP (TPC-H Q1 shape): hash aggregate over 6 groups. "
+        "Map-side partial aggregation collapses 100 TB to 6 rows per "
+        "partition before the shuffle — the canonical scale-safe aggregate."
+    ),
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity"), "sum_qty"),
+        dsum(F.col("l_extendedprice"), "sum_base_price"),
+        dsum(disc, "sum_disc_price"),
+        dsum(disc * (1 + F.col("l_tax")), "sum_charge"),
+        r4(F.avg("l_quantity"), "avg_qty"),
+        r4(F.avg("l_extendedprice"), "avg_price"),
+        r6(F.avg("l_discount"), "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_dist_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="COUNT/SUM DISTINCT (expand+two-phase aggregate under the hood; "
+    "prefer approx_count_distinct at 100 TB — see q_agg_approx_distinct).",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.sum_distinct(F.col("l_quantity").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("sum_dist_qty"),
+    )
+
+
+@register(
+    "q_agg_approx_distinct",
+    oracle=None,  # approximate result can't hash-match an exact oracle
+    doc=(
+        "HyperLogLog++ approximate count-distinct (rsd=0.01) — the 100 TB "
+        "replacement for exact COUNT(DISTINCT): fixed-size sketch, no "
+        "expand, mergeable across partitions. rows-only check; the pytest "
+        "suite asserts <5% error vs exact on sf0.001."
+    ),
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles (Spark `percentile` == DuckDB "
+    "`quantile_cont`). At 100 TB switch to percentile_approx (t-digest "
+    "sketch, mergeable) — exact percentile requires a per-group sort.",
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.expr("percentile(l_extendedprice, 0.5)"), "p50"),
+        r4(F.expr("percentile(l_extendedprice, 0.9)"), "p90"),
+        r4(F.expr("percentile(l_quantity, 0.25)"), "q1_qty"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+SELECT l_linestatus,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+FROM lineitem GROUP BY l_linestatus
+""",
+    doc="Statistical aggregates (one-pass moment formulas in both engines).",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        r6(F.stddev_samp("l_quantity"), "sd_qty"),
+        r4(F.var_samp("l_quantity"), "var_qty"),
+        r6(F.corr("l_quantity", "l_extendedprice"), "corr_qty_price"),
+        r6(F.covar_samp("l_quantity", "l_discount"), "cov_qty_disc"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    doc="GROUPING SETS with grouping() flags (SQL path — identical text in "
+    "both dialects).",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_q(spark, sf_dir, _GROUPING_SETS_SQL, ["orders"])
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP subtotal cascade via the DataFrame API.",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over two keys (15 + subtotal rows).",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dsum(F.col("o_totalprice"), "sum_price")
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS spend
+FROM orders GROUP BY o_custkey
+HAVING sum(o_totalprice) > 200000
+""",
+    doc="HAVING: post-aggregation filter (threshold far from float noise).",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("_raw_spend"),
+            dsum(F.col("o_totalprice"), "spend"),
+        )
+        .filter(F.col("_raw_spend") > 200000)  # filter on the raw sum, like the oracle's HAVING
+        .drop("_raw_spend")
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+SELECT l_returnflag,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+       count(DISTINCT l_linestatus) AS n_statuses
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc=(
+        "collect_set per group, order-normalized (array_sort) and "
+        "serialized to a string so the hash is representation-independent "
+        "— the ES-document-assembly shape of the reference pipeline."
+    ),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "q_agg_conditional",
+    oracle="""
+SELECT user_id,
+       round(sum(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase_sum,
+       count(*) FILTER (WHERE event_type = 'click') AS click_cnt,
+       count(*) FILTER (WHERE event_type = 'error') AS error_cnt
+FROM events GROUP BY user_id
+""",
+    doc=(
+        "FILTERed aggregates — per-type counters per user, the canonical "
+        "KSE demo aggregation (SURVEY.md §2.4 [R] high conf). One shuffle "
+        "computes all three conditions."
+    ),
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        r4(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), "purchase_sum"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("click_cnt"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("error_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / limit / top-k / sample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sort_multi",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+ORDER BY o_orderstatus DESC, o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    doc="Multi-key ORDER BY + LIMIT → TakeOrderedAndProject (per-partition "
+    "top-100 then driver merge; never a full global sort).",
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(
+            F.col("o_orderstatus").desc_nulls_last(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    doc="Deterministic LIMIT (ordered, keyed tie-break).",
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+FROM orders
+QUALIFY rn <= 3
+""",
+    doc=(
+        "Top-k per group via window row_number + filter. Catalyst 3.5+ "
+        "inserts a WindowGroupLimit (per-partition top-k before the "
+        "shuffle), so this scales as a partial top-k, not a full sort."
+    ),
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_sample",
+    oracle=None,  # sampling RNG is engine-specific — rows-only check
+    doc="Seeded Bernoulli sampling (per-partition, no shuffle). The pytest "
+    "suite asserts the fraction lands in a tolerance band and is stable "
+    "across runs for a fixed seed.",
+)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.sample(fraction=0.1, seed=42).select("event_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+def _seg_a() -> F.Column:
+    return F.col("c_mktsegment") == "AUTOMOBILE"
+
+
+def _rich() -> F.Column:
+    return F.col("c_acctbal") > 5000
+
+
+@register(
+    "q_set_union_all",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+UNION ALL
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+""",
+    doc="Bag union (no shuffle — partitions concatenate).",
+)
+def q_set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.filter(_seg_a()).select("c_custkey").unionByName(c.filter(_rich()).select("c_custkey"))
+
+
+@register(
+    "q_set_union_distinct",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+""",
+    doc="Set union (union + distinct ⇒ one hash-aggregate shuffle).",
+)
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.filter(_seg_a())
+        .select("c_custkey")
+        .union(c.filter(_rich()).select("c_custkey"))
+        .distinct()
+    )
+
+
+@register(
+    "q_set_intersect",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+""",
+    doc="INTERSECT (distinct semantics in both engines).",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.filter(_seg_a()).select("c_custkey").intersect(c.filter(_rich()).select("c_custkey"))
+
+
+@register(
+    "q_set_except",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+""",
+    doc="EXCEPT (distinct semantics: Spark subtract == SQL EXCEPT).",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.filter(_seg_a()).select("c_custkey").subtract(c.filter(_rich()).select("c_custkey"))
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="DISTINCT rows (map-side partial distinct collapses before shuffle).",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()

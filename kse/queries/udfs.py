@@ -1,0 +1,117 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11) — the Python escape hatches,
+each with its 100 TB cost documented. All rows-only checks (Python-side
+compute has no DuckDB twin).
+
+Cost ladder (per SURVEY.md §4 / pyspark guide):
+1. built-in functions — JVM, whole-stage codegen, free.          <- default
+2. pandas_udf / applyInPandas / mapInPandas — Arrow batches,
+   ~10-100x faster than row UDFs; one Python worker per core.    <- vectors
+3. row-at-a-time F.udf — per-row pickle round trip.              <- avoid
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType
+
+from kse.queries._util import t
+from kse.registry import register
+
+
+@register(
+    "q_udf_scalar",
+    oracle=None,
+    doc=(
+        "Row-at-a-time Python UDF (vowel counter) — deliberately the "
+        "discouraged path: every row crosses JVM→Python individually. "
+        "Kept as the API-completeness demo; q_udf_pandas_scalar is the "
+        "same computation at Arrow speed."
+    ),
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(returnType=IntegerType())
+    def vowel_count(s: str) -> int:
+        return sum(1 for ch in s if ch in "aeiou")
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", vowel_count("text").alias("n_vowels"))
+
+
+@register(
+    "q_udf_pandas_scalar",
+    oracle=None,
+    doc=(
+        "Vectorized Arrow pandas_udf: L2 norm over the embedding column "
+        "via one NumPy matmul per Arrow batch — the workhorse pattern for "
+        "vector math the JVM lambdas can't express efficiently."
+    ),
+)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(DoubleType())
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, 64) float32
+        return pd.Series(np.sqrt((mat.astype(np.float64) ** 2).sum(axis=1)))
+
+    e = t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", F.round(l2_norm("embedding"), 6).alias("l2_norm"))
+
+
+@register(
+    "q_udf_pandas_grouped",
+    oracle=None,
+    doc=(
+        "Grouped-map applyInPandas: per label, distance of each vector to "
+        "its own group centroid (a per-group model-fit shape). Each group "
+        "arrives as one pandas frame after a single shuffle on the key; "
+        "state is bounded by max group size — salt the key if a group "
+        "outgrows executor memory."
+    ),
+)
+def q_udf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def centroid_dist(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        centroid = mat.mean(axis=0)
+        dist = np.sqrt(((mat - centroid) ** 2).sum(axis=1))
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "centroid_dist": np.round(dist, 6),
+            }
+        )
+
+    e = t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInPandas(
+        centroid_dist, schema="vec_id bigint, label int, centroid_dist double"
+    )
+
+
+@register(
+    "q_udtf",
+    oracle=None,
+    doc=(
+        "Table function (one row → many): explode each document into "
+        "(doc_id, pos, token) rows via a Spark 4 Python UDTF. The "
+        "equivalent JVM-side posexplode is what production uses; the UDTF "
+        "exists to prove the extension surface."
+    ),
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")[:5]):
+                yield i, tok
+
+    spark.udtf.register("kse_tokenize", Tokenize)
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM _udtf_docs d, LATERAL kse_tokenize(d.text) t"
+    )

@@ -1,0 +1,250 @@
+"""Window functions (SURVEY.md §2.5): ranking, lead/lag, running and
+sliding frames, first/last, gap-based batch sessionization.
+
+Scale posture: a window = one shuffle on partitionBy keys + per-partition
+sort. Every window here partitions on a high-cardinality key (customer,
+user) so state per key is small; none uses an unpartitioned global window
+(which would serialize 100 TB through one task). Timestamps are reduced to
+epoch microseconds (bigint) before arithmetic so gap logic is exact integer
+math in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kse.queries._util import t, ts_us
+from kse.registry import register
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER w AS INT) AS rn,
+       CAST(rank() OVER w AS INT) AS rk,
+       CAST(dense_rank() OVER w AS INT) AS drk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    doc="row_number / rank / dense_rank per customer (keyed tie-break for "
+    "determinism; DuckDB window counters are BIGINT → cast to INT).",
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    )
+
+
+@register(
+    "q_win_ntile_percent",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="ntile / percent_rank / cume_dist (exact integer ratios — "
+    "bitwise-identical across engines, no rounding).",
+)
+def q_win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "q_win_lead_lag",
+    oracle="""
+SELECT event_id, user_id, value,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       value - lag(value) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc="lag/lead per user over event time — the sessionization precursor "
+    "(per-row doubles, no rounding needed).",
+)
+def q_win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "q_win_running",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_spend,
+       CAST(count(*) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_n
+FROM orders
+""",
+    doc="Running sum/count (cumulative frame). Rounded to 2 dp: engines may "
+    "accumulate cumulative sums with different in-frame algorithms.",
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("run_spend"),
+        F.count("*").over(w).alias("run_n"),
+    )
+
+
+@register(
+    "q_win_sliding_frame",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+FROM lineitem
+""",
+    doc="Sliding 3-row moving average per supplier over ship-date order.",
+)
+def q_win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_extendedprice").over(w), 4).alias("mov_avg"),
+    )
+
+
+@register(
+    "q_win_first_last",
+    oracle="""
+SELECT user_id, first_value AS first_value, last_value AS last_value, n_events
+FROM (
+  SELECT user_id,
+         first_value(value) OVER w AS first_value,
+         last_value(value)  OVER w AS last_value,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+) WHERE rn = 1
+""",
+    doc="First/last event value per user over an unbounded frame, reduced "
+    "to one row per user.",
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.first("value").over(w).alias("first_value"),
+            F.last("value").over(w).alias("last_value"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("n_events"),
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("event_id"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "first_value", "last_value", "n_events")
+    )
+
+
+@register(
+    "q_win_sessionize",
+    oracle="""
+WITH ts_ord AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+), flagged AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 OR
+                   lag(ts_us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ts_ord WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sessions AS (
+  SELECT user_id, ts_us, event_id,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts_us) AS session_start_us,
+       max(ts_us) - min(ts_us) AS duration_us
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    doc=(
+        "Gap-based batch sessionization (30-min gap): flag = gap > 30min, "
+        "session_id = running sum of flags, then per-session rollup. All "
+        "arithmetic is integer microseconds — exact in both engines. The "
+        "streaming twin is kse.streaming.windows.session_window_agg "
+        "(F.session_window), pytest-verified; this is the batch image of "
+        "the reference's session analysis [B:7]."
+    ),
+)
+def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id", ts_us(F.col("ts")).alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )

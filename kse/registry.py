@@ -1,0 +1,72 @@
+"""Query registry — the single source of truth behind ``__spark_entry__.py``.
+
+Every operator from SURVEY.md §2 registers here as a named pair:
+
+- a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``, and
+- (when SQL-expressible) the equivalent DuckDB oracle SQL, run by the driver
+  side-by-side at sf0.01 with row-count + schema + value-hash comparison.
+
+Column names of the Spark result and the oracle result MUST match exactly
+(the driver sorts columns by name before hashing), so builders alias every
+computed column and oracles use the same ``AS`` names.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None -> driver runs rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` as query ``name`` with its oracle SQL."""
+
+    def _wrap(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return _wrap
+
+
+def all_queries() -> dict[str, Query]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: q.fn for name, q in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every query module exactly once (imports run the decorators)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from kse.queries import functions, llm, relational, udfs, windows  # noqa: F401
+
+    _LOADED = True

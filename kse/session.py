@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-aware defaults.
+
+Reference parity note: the reference (sekaiamber/KSE-Sample — mount empty at
+survey time, see SURVEY.md §0) is an application on top of Spark and carries
+no engine configuration of its own; everything here is our 100 TB posture.
+
+Design for a 1000-executor cluster, tested on local[N]:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  broadcast-join conversion are the three knobs that matter most at 100 TB
+  and they are all runtime decisions AQE makes better than static config.
+- ``spark.sql.shuffle.partitions`` is a *default* only — AQE coalesces it
+  down at small scale and splits skewed partitions at large scale. On a real
+  cluster set it to ~2-3x total cores; here it tracks local parallelism.
+- Arrow enabled for every pandas_udf / toPandas crossing (the vector ops in
+  kse.queries.llm live on this).
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  and match the DuckDB oracle (which is timezone-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_session(
+    app_name: str = "kse-spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the same code runs unmodified on a cluster where ``master`` is injected
+    by spark-submit instead.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet NTZ timestamps (the testdata is tz-naive) read as NTZ so
+        # they mean the same wall-clock instant in Spark and in DuckDB.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # events.ts is TIMESTAMP(NANOS) which Spark's reader rejects; read
+        # it as raw nanos (bigint) and convert in kse.catalog.load — same
+        # micro-truncation DuckDB applies.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,139 @@
+"""Local differential harness — mimics the driver's correctness gate.
+
+Runs every registered query on Spark at the given sf_dir and, when an
+oracle exists, the oracle SQL on DuckDB over the same parquet; compares
+row count, column names/order-insensitively, and values (sorted by all
+columns, with exact equality for non-floats and tight tolerance for
+floats — stricter than a hash, so passing here should imply passing the
+driver's hash).
+
+Usage:
+    python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kse import registry  # noqa: E402
+from kse.catalog import TABLES, table_path  # noqa: E402
+from kse.session import get_session  # noqa: E402
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # normalize bytes/None representations
+            df[c] = df[c].map(lambda v: v if v is not None else None)
+    sort_cols = list(df.columns)
+    try:
+        df = df.sort_values(sort_cols, kind="mergesort", na_position="last")
+    except Exception:
+        df = df.sort_values(sort_cols, key=lambda s: s.astype(str), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    errs: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        errs.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        errs.append(f"columns: spark={s_cols} duck={d_cols}")
+        return errs
+    if errs:
+        return errs
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
+            sa = sv.astype(float).to_numpy()
+            da = dv.astype(float).to_numpy()
+            both_nan = np.isnan(sa) & np.isnan(da)
+            close = np.isclose(sa, da, rtol=1e-12, atol=1e-12) | both_nan
+            if not close.all():
+                i = int(np.argmin(close))
+                errs.append(f"col {c}: value mismatch at sorted row {i}: {sa[i]!r} vs {da[i]!r}")
+        else:
+            if not sv.astype(str).equals(dv.astype(str)):
+                neq = sv.astype(str) != dv.astype(str)
+                i = int(np.argmax(neq.to_numpy()))
+                errs.append(f"col {c}: value mismatch at sorted row {i}: {sv.iloc[i]!r} vs {dv.iloc[i]!r}")
+    # dtype drift report (informational mismatch -> error, since the driver
+    # compares schemas too)
+    for c in s.columns:
+        sk = np.dtype(spark_pdf[c].dtype).kind
+        dk = np.dtype(duck_pdf[c].dtype).kind
+        if sk != dk and {sk, dk} not in ({"i", "f"},):
+            errs.append(f"col {c}: dtype kind spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_session("kse-check")
+    con = duck_connect(sf_dir)
+    qs = registry.all_queries()
+    n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+    for name, q in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: SPARK ERROR\n{traceback.format_exc()}")
+            continue
+        if q.oracle is None:
+            n_rows_only += 1
+            print(f"rows  {name}: {len(spark_pdf)} rows ({time.time()-t0:.2f}s)")
+            continue
+        try:
+            duck_pdf = con.execute(q.oracle).df()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: DUCKDB ERROR\n{traceback.format_exc()}")
+            continue
+        errs = compare(spark_pdf, duck_pdf)
+        if errs:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name} ({time.time()-t0:.2f}s)")
+            for e in errs[:8]:
+                print(f"      - {e}")
+        else:
+            n_pass += 1
+            print(f"PASS  {name}: {len(spark_pdf)} rows ({time.time()-t0:.2f}s)")
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    if failures:
+        print("failed:", " ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
