@@ -1,0 +1,169 @@
+"""Document indexer sink — the Elasticsearch leg of the reference pipeline
+(SURVEY.md §2.1 sink_es, [B:7]).
+
+Two interchangeable backends behind one ``foreachBatch`` interface:
+
+- ``EsBulkIndexer``: Elasticsearch REST ``_bulk`` with ``index`` actions
+  keyed by ``_id`` → idempotent upserts, so Spark's at-least-once
+  ``foreachBatch`` delivery yields effectively-once documents. Partitions
+  POST independently (executor→ES fan-out; size bulk_size to ES heap).
+  Code-complete but NOT runnable in this container (no ES, no network —
+  verified at survey time); exercised in tests through a mock transport.
+- ``JsonlIndexer``: offline stand-in with the SAME semantics — one
+  directory per index, one JSONL file per (batch, partition), documents
+  keyed by ``_id``; a compaction view applies last-write-wins per _id, so
+  replays of a micro-batch (Spark's recovery behavior) are idempotent
+  exactly as they are against ES.
+
+Why foreachBatch and not a custom sink: it gives the batch-DataFrame API
+(joins, repartition) per micro-batch plus a batch_id for exactly-once
+bookkeeping — the recommended pattern for external stores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _rows_to_actions(rows: Iterable, id_col: str) -> Iterable[tuple[str, dict]]:
+    for row in rows:
+        d = row.asDict(recursive=True)
+        doc_id = str(d[id_col])
+        yield doc_id, d
+
+
+@dataclass
+class JsonlIndexer:
+    """Filesystem 'index': ``{root}/{index}/batch=<id>-part=<pid>.jsonl``.
+
+    Append-only files + last-write-wins read view == ES upsert semantics.
+    """
+
+    root: str
+
+    def foreach_batch(self, index: str, id_col: str) -> Callable[[DataFrame, int], None]:
+        root = self.root
+
+        def _write(batch_df: DataFrame, batch_id: int) -> None:
+            out_dir = os.path.join(root, index)
+            os.makedirs(out_dir, exist_ok=True)
+
+            def write_partition(pid_rows):
+                pid, rows = pid_rows
+                path = os.path.join(out_dir, f"batch={batch_id:08d}-part={pid:05d}.jsonl")
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    for doc_id, doc in _rows_to_actions(rows, id_col):
+                        f.write(json.dumps({"_id": doc_id, "_source": doc}, default=str))
+                        f.write("\n")
+                os.replace(tmp, path)  # atomic per (batch, partition) => replay-safe
+                return []
+
+            batch_df.rdd.mapPartitionsWithIndex(
+                lambda pid, rows: write_partition((pid, rows))
+            ).count()
+
+        return _write
+
+    # ---- read-side (the 'search' half used by tests) ----
+
+    def read_index(self, index: str) -> dict[str, dict]:
+        """Materialize the index with last-write-wins per _id (what ES
+        would return after all bulks applied)."""
+        out: dict[str, dict] = {}
+        out_dir = os.path.join(self.root, index)
+        if not os.path.isdir(out_dir):
+            return out
+        for fname in sorted(os.listdir(out_dir)):
+            if not fname.endswith(".jsonl"):
+                continue
+            with open(os.path.join(out_dir, fname)) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    out[rec["_id"]] = rec["_source"]
+        return out
+
+
+@dataclass
+class EsBulkIndexer:
+    """Elasticsearch REST bulk indexer (production backend).
+
+    ``transport`` is ``(url, payload) -> status`` — ``urllib`` in
+    production, a recording fake in tests. Injected so the bulk-assembly
+    logic is testable without a cluster.
+    """
+
+    base_url: str
+    bulk_size: int = 1000
+    transport: Callable[[str, bytes], int] | None = None
+
+    def _default_transport(self, url: str, payload: bytes) -> int:
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=payload, headers={"Content-Type": "application/x-ndjson"}
+        )
+        with urllib.request.urlopen(req) as resp:  # pragma: no cover (no ES here)
+            return resp.status
+
+    def foreach_batch(self, index: str, id_col: str) -> Callable[[DataFrame, int], None]:
+        base_url, bulk_size = self.base_url, self.bulk_size
+        transport = self.transport or self._default_transport
+
+        def _write(batch_df: DataFrame, batch_id: int) -> None:
+            def send_partition(rows):
+                buf: list[str] = []
+
+                def flush():
+                    if buf:
+                        payload = ("\n".join(buf) + "\n").encode()
+                        status = transport(f"{base_url}/_bulk", payload)
+                        if status >= 300:
+                            raise IOError(f"bulk index failed: HTTP {status}")
+                        buf.clear()
+
+                for doc_id, doc in _rows_to_actions(rows, id_col):
+                    buf.append(json.dumps({"index": {"_index": index, "_id": doc_id}}))
+                    buf.append(json.dumps(doc, default=str))
+                    if len(buf) >= 2 * bulk_size:
+                        flush()
+                flush()
+                return []
+
+            batch_df.rdd.mapPartitions(send_partition).count()
+
+        return _write
+
+
+def write_stream_to_index(
+    df: DataFrame,
+    indexer,
+    *,
+    index: str,
+    id_col: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+    available_now: bool = True,
+):
+    """Wire a streaming DataFrame into an indexer via foreachBatch with a
+    checkpoint (offsets + state => restart-safe, SURVEY.md §2.9
+    st_checkpoint/st_foreachbatch)."""
+    writer = (
+        df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(indexer.foreach_batch(index, id_col))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_batch_to_index(df: DataFrame, indexer, *, index: str, id_col: str) -> None:
+    """Batch convenience: index a finished DataFrame (batch_id = 0)."""
+    indexer.foreach_batch(index, id_col)(df, 0)

@@ -1,0 +1,93 @@
+"""The KSE pipeline, end-to-end (the reference's identity, SURVEY.md §0.1):
+
+    Kafka topic → parse JSON → filter/project → enrich with a static dim
+    → event-time windowed aggregate → index documents into Elasticsearch.
+
+This module assembles the pieces (sources, windows, indexer) into the one
+flow a user of the reference runs today, parameterized by source and sink
+backend so the same code runs offline (file source + JSONL index — this
+container) and in production (Kafka + ES REST).
+
+Consistency contract (SURVEY.md §3.3): offsets+state are checkpointed
+(exactly-once within Spark); the index write is at-least-once with
+idempotent per-_id upserts ⇒ effectively-once documents.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kse.streaming import windows as W
+from kse.streaming.sources import parse_props
+
+
+@dataclass
+class PipelineConfig:
+    window: str = "10 minutes"
+    watermark: str = "15 minutes"
+    min_value: float = 0.0
+    event_types: tuple[str, ...] = ("click", "view", "purchase", "signup", "error")
+
+
+def transform(events: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """The reference's transform stage: JSON parse → filter → project.
+
+    Works identically on batch and streaming inputs (one logical plan,
+    incrementalized by the engine when streaming).
+    """
+    parsed = parse_props(events)
+    return parsed.filter(
+        F.col("event_type").isin(*cfg.event_types) & (F.col("value") >= cfg.min_value)
+    ).select("event_id", "ts", "user_id", "event_type", "value", "k")
+
+
+def windowed_docs(events: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Transform → tumbling per-type aggregate → ES-document shape.
+
+    doc_id = '<window_start_us>:<event_type>' so re-processed windows
+    overwrite their own documents (idempotent upsert key).
+    """
+    agg = W.tumbling_counts(
+        transform(events, cfg), window=cfg.window, watermark=cfg.watermark
+    )
+    return agg.select(
+        F.concat(
+            F.unix_micros(F.col("window_start").cast("timestamp")).cast("string"),
+            F.lit(":"),
+            F.col("event_type"),
+        ).alias("doc_id"),
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def run_offline(
+    spark,
+    events_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig = PipelineConfig(),
+):
+    """Offline end-to-end run: file-source replay → windowed docs → JSONL
+    index, availableNow (drain everything, then stop). Returns the query
+    handle; callers await ``awaitTermination()``."""
+    from kse.sinks.indexer import JsonlIndexer, write_stream_to_index
+    from kse.streaming.sources import file_events
+
+    events = file_events(spark, events_dir)
+    docs = windowed_docs(events, cfg)
+    return write_stream_to_index(
+        docs,
+        JsonlIndexer(index_root),
+        index="event_windows",
+        id_col="doc_id",
+        checkpoint_dir=checkpoint_dir,
+        output_mode="update",
+        available_now=True,
+    )

@@ -1,0 +1,61 @@
+"""Custom stateful streaming operators (SURVEY.md §2.9 st_stateful_custom).
+
+``applyInPandasWithState``: per-key arbitrary state with timeout-driven
+eviction — the escape hatch when built-in windows can't express the
+semantics. State lives in the executor-local state store (RocksDB/HDFS
+backed on a cluster), checkpointed for exactly-once; each key's state must
+fit in memory, which holds for per-user profiles at any corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PROFILE_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_type string"
+_STATE_SCHEMA = "n bigint, total double, last string"
+
+
+def _update_profile(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running per-user profile: event count, value total, last event type.
+
+    Emits the updated profile once per micro-batch per active key — the
+    'user state table' the reference's ES index effectively materializes.
+    """
+    n, total, last = state.get if state.exists else (0, 0.0, None)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last = str(pdf["event_type"].iloc[-1])
+    state.update((n, total, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 4)],
+            "last_type": [last],
+        }
+    )
+
+
+def user_profiles(events: DataFrame) -> DataFrame:
+    """Stateful per-user running profile over the event stream."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_profile,
+            outputStructType=PROFILE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,111 @@
+"""LLM-data-pipeline operator tests (SURVEY.md §2.10): hand-checkable
+invariants + the planted sf0.1 duplicates (FIXTURES.md: 8 exact-dup pairs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kse.catalog import load
+from kse.queries.llm import (
+    minhash_candidate_pairs,
+    q_llm_dedup_exact,
+    q_llm_dedup_minhash,
+    q_llm_dedup_simhash,
+    q_llm_sim_knn,
+)
+from kse.queries.relational import q_agg_approx_distinct
+
+from .conftest import SF_BENCH, SF_SMOKE, SF_T2
+
+
+def _planted_dup_pairs(spark):
+    """Ground truth: exact-duplicate text pairs in sf0.1 documents."""
+    d = load(spark, SF_BENCH, "documents")
+    groups = (
+        d.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    pairs = set()
+    for g in groups:
+        ids = sorted(g.ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return pairs
+
+
+def test_exact_dedup_removes_planted_duplicates(spark):
+    n_docs = load(spark, SF_BENCH, "documents").count()
+    n_kept = q_llm_dedup_exact(spark, SF_BENCH).count()
+    assert n_docs - n_kept == 8  # FIXTURES.md: 8 duplicate pairs at sf0.1
+
+
+def test_minhash_finds_planted_duplicates(spark):
+    truth = _planted_dup_pairs(spark)
+    assert len(truth) == 8
+    d = load(spark, SF_BENCH, "documents")
+    found = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(d).collect()}
+    # identical texts have identical signatures in every band => all found
+    assert truth <= found
+
+
+def test_minhash_output_nonempty_everywhere(spark):
+    out = q_llm_dedup_minhash(spark, SF_T2)
+    assert out.count() == 500  # one row per doc even with zero candidates
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    sims = {r.doc_id: r.simhash for r in q_llm_dedup_simhash(spark, SF_BENCH).collect()}
+    for a, b in _planted_dup_pairs(spark):
+        assert sims[a] == sims[b]
+
+
+def test_knn_self_similarity_and_ordering(spark):
+    rows = q_llm_sim_knn(spark, SF_T2).collect()
+    assert len(rows) == 10
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+    assert all(r.vec_id != 0 for r in rows)  # self excluded
+
+
+def test_knn_cosine_self_is_one(spark):
+    e = load(spark, SF_SMOKE, "embeddings").limit(1)
+    row = (
+        e.select(
+            F.expr(
+                "aggregate(zip_with(embedding, embedding,"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("dot"),
+            F.expr(
+                "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+            ).alias("nrm"),
+        )
+        .collect()[0]
+    )
+    assert abs(row.dot / (row.nrm * row.nrm) - 1.0) < 1e-12
+
+
+def test_approx_count_distinct_accuracy(spark):
+    approx = {r.event_type: r.approx_users for r in q_agg_approx_distinct(spark, SF_T2).collect()}
+    e = load(spark, SF_T2, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05
+
+
+def test_dedup_idempotent(spark):
+    once = q_llm_dedup_exact(spark, SF_BENCH).count()
+    # running dedup on already-deduped data removes nothing
+    d = load(spark, SF_BENCH, "documents")
+    deduped = d.dropDuplicates(["text"])
+    assert deduped.dropDuplicates(["text"]).count() == deduped.count() == once

@@ -1,0 +1,86 @@
+"""Hand-computed unit tests + algebraic property checks (SURVEY.md §5.3-5.4)
+on tiny inline DataFrames — independent of the DuckDB oracle harness.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kse.catalog import load
+from kse.queries.relational import q_join_range_asof, q_topk_per_group
+
+from .conftest import SF_SMOKE
+
+
+def test_join_semantics_inline(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    right = spark.createDataFrame([(1, 10.0), (1, 20.0), (4, 40.0)], "k long, w double")
+    assert left.join(right, "k", "inner").count() == 2
+    assert left.join(right, "k", "left").count() == 4  # k=1 doubled, 2/3 null-extended
+    assert left.join(right, "k", "left_semi").count() == 1
+    assert sorted(r.k for r in left.join(right, "k", "left_anti").collect()) == [2, 3]
+    assert left.join(right, "k", "full").count() == 5
+
+
+def test_set_algebra_identities(spark):
+    a = spark.range(0, 10).select(F.col("id"))
+    b = spark.range(5, 15).select(F.col("id"))
+    assert a.union(b).count() == 20
+    assert a.union(b).distinct().count() == 15
+    assert a.intersect(b).count() == 5
+    assert a.subtract(b).count() == 5
+    # (A except B) union (A intersect B) == A  (distinct semantics)
+    rebuilt = a.subtract(b).union(a.intersect(b)).distinct()
+    assert sorted(r.id for r in rebuilt.collect()) == list(range(10))
+
+
+def test_window_sum_equals_groupby_sum(spark):
+    """Consistency: final running-sum value per key == group sum."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 3.0), (2, 10.0)], "k long, v double"
+    )
+    w = Window.partitionBy("k").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    last = (
+        df.withColumn("run", F.sum("v").over(w))
+        .groupBy("k")
+        .agg(F.max("run").alias("final_run"))
+    )
+    grp = df.groupBy("k").agg(F.sum("v").alias("s"))
+    joined = last.join(grp, "k").collect()
+    for r in joined:
+        assert r.final_run == r.s
+
+
+def test_topk_per_group_bounds(spark):
+    out = q_topk_per_group(spark, SF_SMOKE)
+    per_group = out.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+    assert per_group <= 3
+    assert out.filter(F.col("rn") > 3).count() == 0
+
+
+def test_asof_join_picks_latest_prior(spark):
+    out = q_join_range_asof(spark, SF_SMOKE)
+    events = load(spark, SF_SMOKE, "events")
+    orders = load(spark, SF_SMOKE, "orders")
+    # every matched event maps to exactly one order
+    assert out.groupBy("event_id").count().filter("count > 1").count() == 0
+    # spot-check one event: the chosen order is the max orderdate among its user's orders
+    sample = out.limit(1).collect()[0]
+    e = events.filter(F.col("event_id") == sample.event_id).collect()[0]
+    user_orders = orders.filter(
+        (F.col("o_custkey") == e.user_id) & (F.col("o_orderdate") <= e.ts)
+    )
+    max_date = user_orders.agg(F.max("o_orderdate")).collect()[0][0]
+    chosen = user_orders.filter(F.col("o_orderkey") == sample.asof_orderkey).collect()[0]
+    assert chosen.o_orderdate == max_date
+
+
+def test_sample_deterministic_with_seed(spark):
+    e = load(spark, SF_SMOKE, "events")
+    s1 = sorted(r.event_id for r in e.sample(False, 0.1, 42).select("event_id").collect())
+    s2 = sorted(r.event_id for r in e.sample(False, 0.1, 42).select("event_id").collect())
+    assert s1 == s2
+    assert 0.03 < len(s1) / 1000 < 0.25  # fraction in a sane band

@@ -1,0 +1,246 @@
+"""Streaming operator tests (SURVEY.md §2.9) — deterministic file-source
+replay + availableNow triggers + memory sink; no Kafka/ES needed.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kse.sinks.indexer import EsBulkIndexer, JsonlIndexer, write_batch_to_index
+from kse.streaming import state as ST
+from kse.streaming import windows as W
+from kse.streaming.pipeline import PipelineConfig, run_offline, transform, windowed_docs
+from kse.streaming.sources import file_events, parse_props, rate_events
+
+from .conftest import ev, write_event_chunk
+
+
+def _run_to_memory(df, name: str, tmp_path, mode: str = "update"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_counts_match_batch(spark, tmp_events_dir, tmp_path):
+    rows = [
+        ev(1, "2024-01-01T10:01:00Z", etype="click"),
+        ev(2, "2024-01-01T10:04:00Z", etype="click", value=2.5),
+        ev(3, "2024-01-01T10:12:00Z", etype="view"),
+        ev(4, "2024-01-01T10:14:00Z", etype="click"),
+    ]
+    write_event_chunk(tmp_events_dir, "000.json", rows)
+    name = f"tumble_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(W.tumbling_counts(file_events(spark, tmp_events_dir)), name, tmp_path)
+    got = {
+        (r.window_start.isoformat(), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got[("2024-01-01T10:00:00", "click")] == (2, 3.5)
+    assert got[("2024-01-01T10:10:00", "click")] == (1, 1.0)
+    assert got[("2024-01-01T10:10:00", "view")] == (1, 1.0)
+
+
+def test_watermark_drops_late_data(spark, tmp_events_dir, tmp_path):
+    # batch 0 advances event time to 11:00 => watermark 10:45. Spark 4.x
+    # propagates TWO watermarks (late-event filter lags eviction by one
+    # batch — verified against the executed plan), so the straggler must
+    # arrive two batches after the advancing data to be provably late.
+    import time
+
+    write_event_chunk(
+        tmp_events_dir, "000.json", [ev(1, "2024-01-01T10:50:00Z"), ev(2, "2024-01-01T11:00:00Z")]
+    )
+    time.sleep(1.1)  # distinct mtimes => the file source keeps batch order
+    write_event_chunk(tmp_events_dir, "001.json", [ev(3, "2024-01-01T11:01:00Z")])
+    time.sleep(1.1)
+    write_event_chunk(tmp_events_dir, "002.json", [ev(4, "2024-01-01T09:00:00Z")])
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(
+        W.tumbling_counts(file_events(spark, tmp_events_dir), watermark="15 minutes"),
+        name,
+        tmp_path,
+    )
+    starts = {r.window_start.isoformat() for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert "2024-01-01T09:00:00" not in starts  # late row dropped
+    assert "2024-01-01T10:50:00" in starts and "2024-01-01T11:00:00" in starts
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1
+
+
+def test_sliding_window_overlap(spark, tmp_events_dir, tmp_path):
+    write_event_chunk(tmp_events_dir, "000.json", [ev(1, "2024-01-01T10:07:00Z")])
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        W.sliding_counts(file_events(spark, tmp_events_dir), window="10 minutes", slide="5 minutes"),
+        name,
+        tmp_path,
+    )
+    starts = sorted(r.window_start.isoformat() for r in spark.sql(f"SELECT * FROM {name}").collect())
+    # a 10:07 event belongs to the [10:00,10:10) and [10:05,10:15) windows
+    assert starts == ["2024-01-01T10:00:00", "2024-01-01T10:05:00"]
+
+
+def test_session_windows(spark, tmp_events_dir, tmp_path):
+    write_event_chunk(
+        tmp_events_dir,
+        "000.json",
+        [
+            ev(1, "2024-01-01T10:00:00Z"),
+            ev(2, "2024-01-01T10:10:00Z"),  # same session (gap < 30m)
+            ev(3, "2024-01-01T11:30:00Z"),  # new session
+        ],
+    )
+    # probe event pushes the watermark past both sessions so append emits them
+    write_event_chunk(tmp_events_dir, "001.json", [ev(9, "2024-01-01T14:00:00Z", user_id=99)])
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        W.session_counts(file_events(spark, tmp_events_dir), gap="30 minutes"),
+        name,
+        tmp_path,
+        mode="append",
+    )
+    rows = [r for r in spark.sql(f"SELECT * FROM {name}").collect() if r.user_id == 1]
+    assert sorted((r.session_start.isoformat(), r.n_events) for r in rows) == [
+        ("2024-01-01T10:00:00", 2),
+        ("2024-01-01T11:30:00", 1),
+    ]
+
+
+def test_stream_dedup(spark, tmp_events_dir, tmp_path):
+    write_event_chunk(
+        tmp_events_dir,
+        "000.json",
+        [ev(1, "2024-01-01T10:00:00Z"), ev(1, "2024-01-01T10:00:30Z"), ev(2, "2024-01-01T10:01:00Z")],
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        W.dedup_stream(file_events(spark, tmp_events_dir)), name, tmp_path, mode="append"
+    )
+    ids = sorted(r.event_id for r in spark.sql(f"SELECT * FROM {name}").collect())
+    assert ids == [1, 2]
+
+
+def test_stream_static_enrich(spark, tmp_events_dir, tmp_path):
+    write_event_chunk(tmp_events_dir, "000.json", [ev(1, "2024-01-01T10:00:00Z", user_id=7)])
+    dim = spark.createDataFrame([(7, "gold")], "user_id long, tier string")
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        W.enrich_with_dim(file_events(spark, tmp_events_dir), dim, "user_id"),
+        name,
+        tmp_path,
+        mode="append",
+    )
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert rows[0].tier == "gold"
+
+
+def test_stream_stream_join(spark, tmp_events_dir, tmp_path, tmp_path_factory):
+    d2 = tmp_path_factory.mktemp("right_events")
+    write_event_chunk(tmp_events_dir, "000.json", [ev(1, "2024-01-01T10:00:00Z", user_id=5)])
+    write_event_chunk(str(d2), "000.json", [ev(2, "2024-01-01T10:05:00Z", user_id=5)])
+    joined = W.stream_stream_join(
+        file_events(spark, tmp_events_dir), file_events(spark, str(d2))
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(joined, name, tmp_path, mode="append")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert [(r.left_event_id, r.right_event_id) for r in rows] == [(1, 2)]
+
+
+def test_stateful_user_profiles(spark, tmp_events_dir, tmp_path):
+    write_event_chunk(
+        tmp_events_dir,
+        "000.json",
+        [
+            ev(1, "2024-01-01T10:00:00Z", user_id=1, etype="click", value=1.0),
+            ev(2, "2024-01-01T10:01:00Z", user_id=1, etype="purchase", value=9.5),
+            ev(3, "2024-01-01T10:02:00Z", user_id=2, etype="view", value=0.5),
+        ],
+    )
+    name = f"prof_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(ST.user_profiles(file_events(spark, tmp_events_dir)), name, tmp_path)
+    got = {r.user_id: (r.n_events, r.total_value, r.last_type)
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got[1] == (2, 10.5, "purchase")
+    assert got[2] == (1, 0.5, "view")
+
+
+def test_pipeline_offline_end_to_end(spark, tmp_events_dir, tmp_path):
+    rows = [
+        ev(1, "2024-01-01T10:01:00Z", etype="click", value=1.0),
+        ev(2, "2024-01-01T10:02:00Z", etype="purchase", value=5.0),
+        ev(3, "2024-01-01T10:12:00Z", etype="click", value=2.0),
+    ]
+    write_event_chunk(tmp_events_dir, "000.json", rows)
+    index_root = str(tmp_path / "index")
+    q = run_offline(spark, tmp_events_dir, index_root, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    idx = JsonlIndexer(index_root).read_index("event_windows")
+    by_key = {k: v for k, v in idx.items()}
+    assert by_key["1704103200000000:click"]["n_events"] == 1
+    assert by_key["1704103200000000:purchase"]["sum_value"] == 5.0
+    assert by_key["1704103800000000:click"]["n_events"] == 1
+
+    # replay with a fresh checkpoint: same doc ids overwrite -> idempotent
+    q2 = run_offline(spark, tmp_events_dir, index_root, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    idx2 = JsonlIndexer(index_root).read_index("event_windows")
+    assert idx2.keys() == idx.keys()
+    assert idx2["1704103200000000:click"]["n_events"] == 1
+
+
+def test_es_bulk_indexer_payloads(spark, tmp_path):
+    # transport runs inside executor Python workers — capture via files
+    cap = tmp_path / "bulks"
+    cap.mkdir()
+
+    def transport(url, payload, _dir=str(cap)):
+        import os as _os
+        import uuid as _uuid
+
+        with open(_os.path.join(_dir, _uuid.uuid4().hex), "wb") as f:
+            f.write(payload)
+        return 200
+
+    idx = EsBulkIndexer("http://es:9200", bulk_size=2, transport=transport)
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "doc_id long, body string")
+    write_batch_to_index(df, idx, index="docs", id_col="doc_id")
+    sent = [p.read_bytes() for p in cap.iterdir()]
+    actions = [json.loads(line) for p in sent for line in p.decode().splitlines()]
+    metas = [a for a in actions if "index" in a]
+    assert {m["index"]["_id"] for m in metas} == {"1", "2", "3"}
+    assert all(m["index"]["_index"] == "docs" for m in metas)
+
+
+def test_rate_source_schema(spark):
+    df = rate_events(spark)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+
+
+def test_transform_parses_props_batch(spark):
+    # transform() is batch/stream agnostic — run it on a batch DF
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0, '{"k": 42}')],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    out = transform(df).collect()
+    assert out[0].k == 42
