@@ -1,0 +1,86 @@
+"""Property-based tests (SURVEY.md §5.4) — algebraic invariants over
+generated inputs. Examples kept small: each case round-trips through the
+JVM, so the budget goes to diverse shapes, not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(alphabet="abc ", min_size=1, max_size=12), min_size=1, max_size=8
+)
+int_lists = st.lists(st.integers(min_value=-50, max_value=50), min_size=0, max_size=12)
+vectors = st.lists(
+    st.floats(min_value=-10, max_value=10, allow_nan=False, width=32), min_size=4, max_size=8
+)
+
+
+@settings(**SETTINGS)
+@given(texts)
+def test_dedup_idempotent_property(spark, docs):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(docs)], "id long, text string")
+    once = df.dropDuplicates(["text"])
+    assert once.dropDuplicates(["text"]).count() == once.count()
+    assert once.count() == len(set(docs))
+
+
+@settings(**SETTINGS)
+@given(int_lists, int_lists)
+def test_set_algebra_property(spark, xs, ys):
+    a = spark.createDataFrame([(x,) for x in xs] or [(0,)], "v long").limit(len(xs))
+    b = spark.createDataFrame([(y,) for y in ys] or [(0,)], "v long").limit(len(ys))
+    # distinct(A except B) ∪ (A intersect B) == distinct(A) when B ⊇ nothing special
+    lhs = {r.v for r in a.subtract(b).union(a.intersect(b)).collect()}
+    assert lhs == set(xs)
+    # union-all preserves multiplicity
+    assert a.unionByName(b).count() == len(xs) + len(ys)
+
+
+@settings(**SETTINGS)
+@given(vectors)
+def test_cosine_self_is_one_property(spark, vec):
+    if all(abs(v) < 1e-6 for v in vec):
+        return  # zero vector: cosine undefined
+    df = spark.createDataFrame([(vec,)], "e array<float>")
+    row = df.select(
+        F.expr(
+            "aggregate(zip_with(e, e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("dot"),
+        F.expr(
+            "sqrt(aggregate(transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+        ).alias("nrm"),
+    ).collect()[0]
+    assert abs(row.dot / (row.nrm * row.nrm) - 1.0) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=15))
+def test_sessionize_gap_count_property(spark, offsets_min):
+    """Number of sessions == number of >30min gaps + 1 (single user)."""
+    from pyspark.sql.window import Window
+
+    ts = sorted(set(offsets_min))
+    df = spark.createDataFrame([(1, m * 60_000_000) for m in ts], "user_id long, ts_us long")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = df.withColumn(
+        "new_s",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us) | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    n_sessions = flagged.agg(F.sum("new_s")).collect()[0][0]
+    expected = 1 + sum(1 for a, b in zip(ts, ts[1:]) if (b - a) * 60_000_000 > gap_us)
+    assert n_sessions == expected
