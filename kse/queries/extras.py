@@ -169,3 +169,117 @@ def q_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.slice(F.split("text", " "), 1, 3)).alias("pos", "token")
     )
+
+
+@register(
+    "q_subquery_scalar",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+""",
+    doc=(
+        "Scalar-subquery filter (orders above 1.5x the mean price). The "
+        "DataFrame build expresses it as a 1-row broadcast cross join — "
+        "exactly what Catalyst rewrites a scalar subquery into; no "
+        "driver-side collect of the scalar."
+    ),
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    avg_p = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_p))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_subquery_correlated",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem l1
+WHERE l_quantity > 1.4 * (SELECT avg(l_quantity) FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey)
+""",
+    doc=(
+        "Correlated scalar subquery (items above 1.4x their own order's "
+        "mean quantity). Expressed as a window average — the decorrelated "
+        "form Catalyst targets: one shuffle on the correlation key instead "
+        "of a subquery per row."
+    ),
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.withColumn("_avg_q", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") > 1.4 * F.col("_avg_q"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "q_agg_minmax_by",
+    oracle="""
+SELECT l_returnflag,
+       arg_max(l_orderkey, l_extendedprice) AS top_orderkey,
+       arg_min(l_orderkey, l_extendedprice) AS bottom_orderkey,
+       max(l_extendedprice) AS top_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="max_by/min_by (argmax aggregation): the orderkey carrying each "
+    "group's extreme price. Single-pass, map-side combinable.",
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", "l_extendedprice").alias("top_orderkey"),
+        F.min_by("l_orderkey", "l_extendedprice").alias("bottom_orderkey"),
+        F.max("l_extendedprice").alias("top_price"),
+    )
+
+
+@register(
+    "q_win_range_between",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CAST(count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+            RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_1k
+FROM orders
+""",
+    doc="RANGE frame on a numeric ordering (peers within a 1000-unit price "
+    "band) — value-based frames vs the row-based frames elsewhere.",
+)
+def q_win_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_within_1k"),
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+    doc="Explicit cross join (tiny x tiny only — a guarded operation; the "
+    "LLM ops never cross-join at data scale, see DESIGN.md).",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region").select("r_name")
+    n = t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)

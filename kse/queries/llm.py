@@ -738,3 +738,66 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fake_decode,
         schema="doc_id bigint, n_bytes bigint, width int, height int, checksum bigint",
     )
+
+
+@register(
+    "q_llm_sim_ivf",
+    oracle=None,  # centroid assignment is engine-internal — rows-only
+    doc=(
+        "IVF-style ANN (inverted-file coarse quantizer): 8 deterministic "
+        "coarse centroids (the embeddings of vec_id 0..7 — a stand-in for "
+        "k-means centroids, which at scale are trained once offline and "
+        "broadcast), every vector assigned to its nearest centroid via a "
+        "broadcast argmin (the inverted lists), then the query probes its "
+        "nprobe=2 nearest lists and reranks exactly inside them. Search "
+        "cost scales with 2/8 of the corpus instead of all of it; at 100 "
+        "TB the lists are parquet partitions keyed by centroid id, so a "
+        "probe is partition pruning."
+    ),
+)
+def q_llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("q_embedding")
+    )
+
+    def nearest_centroids(vecs: DataFrame, id_col: str, keep: int) -> DataFrame:
+        """(id, cent_id, rank) of each vector's `keep` nearest centroids."""
+        scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(embedding, q_embedding,"
+                " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+        )
+        w = Window.partitionBy(id_col).orderBy("dist", "cent_id")
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep)
+            .select(id_col, "cent_id", "crank")
+        )
+
+    # inverted lists: every vector -> its single nearest centroid
+    lists = nearest_centroids(e, "vec_id", keep=1).drop("crank")
+    # query = vec_id 0 probes its 2 nearest lists
+    qvec = e.filter(F.col("vec_id") == 0)
+    probes = nearest_centroids(qvec, "vec_id", keep=2).select(
+        F.col("cent_id").alias("probe_cent")
+    )
+    candidates = (
+        e.join(lists, "vec_id")
+        .join(F.broadcast(probes), F.col("cent_id") == F.col("probe_cent"))
+        .filter(F.col("vec_id") != 0)
+    )
+    q_emb = qvec.select(F.col("embedding").alias("q_embedding"))
+    scored = candidates.crossJoin(F.broadcast(q_emb)).withColumn(
+        "cos_raw",
+        _dot_q()
+        / (F.expr(_NORM.format(c="embedding")) * F.expr(_NORM.format(c="q_embedding"))),
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
+    )

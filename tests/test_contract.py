@@ -64,3 +64,21 @@ def test_oracle_column_alias_discipline(spark):
         cols = q.fn(spark, SF_SMOKE).columns
         for c in cols:
             assert c in q.oracle, f"{name}: column {c} not named in oracle SQL"
+
+
+def test_topk_uses_window_group_limit(spark):
+    """Per-group top-k must run as a partial top-k BEFORE the shuffle
+    (WindowGroupLimit on the map side), not a full per-group sort."""
+    from kse.queries.relational import q_topk_per_group
+
+    plan = q_topk_per_group(spark, SF_T2)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2  # partial (pre-shuffle) + final
+
+
+def test_knn_uses_take_ordered(spark):
+    """Global top-k must be TakeOrderedAndProject (per-partition heap +
+    driver merge of k rows), never a global Sort."""
+    from kse.queries.llm import q_llm_sim_knn
+
+    plan = q_llm_sim_knn(spark, SF_T2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -109,3 +109,23 @@ def test_dedup_idempotent(spark):
     d = load(spark, SF_BENCH, "documents")
     deduped = d.dropDuplicates(["text"])
     assert deduped.dropDuplicates(["text"]).count() == deduped.count() == once
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=2 of 8 lists must recover most of the exact top-10
+    (measured 10/10 on this data; assert >=8 to absorb data drift)."""
+    from kse.queries.llm import q_llm_sim_ivf, q_llm_sim_knn
+
+    knn = {r.vec_id for r in q_llm_sim_knn(spark, SF_T2).collect()}
+    ivf = {r.vec_id for r in q_llm_sim_ivf(spark, SF_T2).collect()}
+    assert len(knn & ivf) >= 8
+
+
+def test_lsh_ann_deterministic(spark):
+    """LSH planes derive from literal-seeded hashes — two runs must agree
+    exactly (no RNG state anywhere)."""
+    from kse.queries.llm import q_llm_sim_lsh_ann
+
+    a = sorted(map(tuple, q_llm_sim_lsh_ann(spark, SF_T2).collect()))
+    b = sorted(map(tuple, q_llm_sim_lsh_ann(spark, SF_T2).collect()))
+    assert a == b
