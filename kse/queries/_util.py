@@ -43,7 +43,7 @@ def dsum(c: Column, alias: str) -> Column:
     Rounding a float sum is boundary-fragile: Spark and DuckDB accumulate
     in different orders, so sums differ by ~1e-9 relative and any rounding
     quantum occasionally straddles a boundary (observed in practice).
-    Instead: scale each value to integer micro-units (round(x*1e6) — the
+    Instead: scale each value to integer micro-units (floor(x*1e6+0.5), positive values — the
     testdata values are 2-dp-like, so products of up to three factors are
     exactly 6-dp and the scaling is exact), sum as BIGINT (exact, order-
     independent, and ~2x faster than DECIMAL aggregation — profiled), then
@@ -52,9 +52,9 @@ def dsum(c: Column, alias: str) -> Column:
     sf; at genuine 100 TB scale switch the scale factor or report DECIMAL).
 
     Oracle twin:
-    ``CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS alias``.
+    ``CAST(sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS alias``.
     """
-    return (F.sum(F.round(c * 1000000.0).cast("bigint")) / 1000000.0).alias(alias)
+    return (F.sum(F.floor(c * 1000000.0 + 0.5)) / 1000000.0).alias(alias)
 
 
 def r4(c: Column, alias: str) -> Column:

@@ -18,8 +18,8 @@ from kse.registry import register
 SELECT l_returnflag,
        count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
        count(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
-       CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) FILTER (WHERE l_linestatus = 'F') AS BIGINT) / 1000000.0 AS qty_f,
-       CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) FILTER (WHERE l_linestatus = 'O') AS BIGINT) / 1000000.0 AS qty_o
+       CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) FILTER (WHERE l_linestatus = 'F') AS BIGINT) / 1000000.0 AS qty_f,
+       CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) FILTER (WHERE l_linestatus = 'O') AS BIGINT) / 1000000.0 AS qty_o
 FROM lineitem GROUP BY l_returnflag
 """,
     doc=(
@@ -30,7 +30,7 @@ FROM lineitem GROUP BY l_returnflag
 )
 def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    scaled = F.round(F.col("l_quantity") * 1000000.0).cast("bigint")
+    scaled = F.floor(F.col("l_quantity") * 1000000.0 + 0.5)
     out = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])

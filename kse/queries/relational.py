@@ -241,7 +241,7 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_inner_hash",
     oracle="""
 SELECT o_orderpriority, count(*) AS n_lines,
-       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
 GROUP BY o_orderpriority
@@ -269,7 +269,7 @@ def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_broadcast",
     oracle="""
-SELECT p_brand, count(*) AS n_lines, CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_qty
+SELECT p_brand, count(*) AS n_lines, CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size <= 10
 GROUP BY p_brand
@@ -293,7 +293,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_sortmerge",
     oracle="""
-SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
+SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
@@ -316,7 +316,7 @@ def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_multiway",
     oracle="""
-SELECT r_name, n_name, count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
+SELECT r_name, n_name, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -532,7 +532,7 @@ def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_global",
     oracle="""
 SELECT count(*) AS n_rows,
-       CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_qty,
+       CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
        min(l_shipdate) = TIMESTAMP '1995-01-02' AS min_ship_ok
@@ -556,10 +556,10 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_groupby",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_qty,
-       CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_base_price,
-       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_disc_price,
-       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_charge,
+       CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_base_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_disc_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -595,7 +595,7 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS n_parts,
        count(DISTINCT l_suppkey) AS n_supps,
-       CAST(sum(DISTINCT CAST(round(l_quantity * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_dist_qty
+       CAST(sum(DISTINCT CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_dist_qty
 FROM lineitem GROUP BY l_returnflag
 """,
     doc="COUNT/SUM DISTINCT (expand+two-phase aggregate under the hood; "
@@ -606,7 +606,7 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
-        (F.sum_distinct(F.round(F.col("l_quantity") * 1000000.0).cast("bigint")) / 1000000.0)
+        (F.sum_distinct(F.floor(F.col("l_quantity") * 1000000.0 + 0.5)) / 1000000.0)
         .alias("sum_dist_qty"),
     )
 
@@ -677,7 +677,7 @@ _GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
-       count(*) AS n, CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_price
+       count(*) AS n, CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
@@ -699,7 +699,7 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
        CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-       count(*) AS n, CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_qty
+       count(*) AS n, CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
     doc="ROLLUP subtotal cascade via the DataFrame API.",
@@ -718,7 +718,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_cube",
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n, CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
+       count(*) AS n, CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     doc="CUBE over two keys (15 + subtotal rows).",
@@ -733,7 +733,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_having",
     oracle="""
-SELECT o_custkey, count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS spend
+SELECT o_custkey, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS spend
 FROM orders GROUP BY o_custkey
 HAVING sum(o_totalprice) > 200000
 """,
