@@ -283,3 +283,74 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region").select("r_name")
     n = t(spark, sf_dir, "nation").select("n_name")
     return r.crossJoin(n)
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+SELECT CAST(least(floor(o_totalprice / 5000.0), 19) AS INT) AS bucket,
+       count(*) AS n,
+       CAST(floor(min(o_totalprice)) AS BIGINT) AS lo,
+       CAST(floor(max(o_totalprice)) AS BIGINT) AS hi
+FROM orders GROUP BY 1
+""",
+    doc="Fixed-width histogram (manual width_bucket: floor(x/step) capped "
+    "at the last bucket) — a single map-side-combinable aggregation.",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 5000.0), F.lit(19)).cast("int")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.floor(F.min("o_totalprice")).alias("lo"),
+        F.floor(F.max("o_totalprice")).alias("hi"),
+    )
+
+
+@register(
+    "q_ts_gapfill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS a, date_trunc('hour', max(ts)) AS b FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT epoch_us(s.h) AS bucket_us, ty.event_type,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n
+FROM spine s CROSS JOIN types ty
+LEFT JOIN agg a ON a.h = s.h AND a.event_type = ty.event_type
+""",
+    doc=(
+        "Time-series gap fill (the hypertable-rollup shape): hourly spine "
+        "generated with sequence() x event types, left-joined to real "
+        "counts, absent buckets zero-filled. The spine is tiny (buckets x "
+        "types) and broadcast; the aggregate is one shuffle. At 100 TB "
+        "the spine stays tiny — it scales with time range, not data."
+    ),
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("a"), F.date_trunc("hour", F.max("ts")).alias("b")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(a, b, interval 1 hour)")).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    agg = e.groupBy(hour.alias("h"), "event_type").agg(F.count("*").alias("n"))
+    return (
+        spine.crossJoin(types)
+        .join(agg, ["h", "event_type"], "left")
+        .select(
+            F.unix_micros(F.col("h").cast("timestamp")).alias("bucket_us"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+    )

@@ -322,9 +322,16 @@ def q_fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fn_map",
-    oracle=None,  # map construction/inspection — no map column in testdata
+    oracle="""
+SELECT event_id,
+       array_to_string(map_keys(map(['type','k'], [event_type, json_extract_string(props, '$.k')])), ',') AS keys_s,
+       map(['type','k'], [event_type, json_extract_string(props, '$.k')])['type'][1] AS type_val,
+       CAST(cardinality(map(['type','k'], [event_type, json_extract_string(props, '$.k')])) AS INT) AS m_size
+FROM events
+""",
     doc="Map functions over a map synthesized from events columns "
-    "(create_map/map_keys/element_at); rows-only check per SURVEY §2.8.",
+    "(create_map/map_keys/element_at/size); keys serialized to a string "
+    "so the hash is representation-free (no map column in testdata).",
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
@@ -333,8 +340,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        m.alias("m"),
-        F.map_keys(m).alias("keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_s"),
         F.element_at(m, F.lit("type")).alias("type_val"),
         F.size(m).alias("m_size"),
     )

@@ -507,7 +507,23 @@ def q_llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_lang_id",
-    oracle=None,  # heuristic scorer — rows-only (pytest checks determinism)
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang AS actual_lang,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the', 'of', 'and', 'to', 'in', 'is', 'it', 'that'])) AS s_en,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'zu'])) AS s_de,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el', 'la', 'de', 'que', 'y', 'en', 'un', 'es'])) AS s_es,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['le', 'la', 'de', 'et', 'un', 'est', 'que', 'pour'])) AS s_fr,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['de5', 'shi4', 'le5', 'zai4', 'you3', 'wo3', 'ta1', 'men5'])) AS s_zh
+  FROM documents
+), ranked AS (
+  SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM scored
+)
+SELECT doc_id, actual_lang,
+       CASE WHEN best <= 0 THEN 'und' WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de' WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr' WHEN s_zh = best THEN 'zh' END AS pred_lang,
+       CAST(best AS INT) AS score
+FROM ranked
+""",
     doc=(
         "Heuristic language-ID: score = stopword-lexicon hit count per "
         "candidate language over the token set, argmax wins ('und' when "
@@ -800,4 +816,28 @@ def q_llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(10)
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "q_llm_embed_normalize",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       round(CAST(embedding[1] AS DOUBLE) /
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS e1_normed
+FROM embeddings
+""",
+    doc="L2 normalization of the embedding column (the prep step before "
+    "cosine reduces to a dot product) — JVM lambdas, per-row only.",
+)
+def q_llm_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    nrm = F.expr(_NORM.format(c="embedding"))
+    return e.select(
+        "vec_id",
+        F.round(nrm, 6).alias("l2_norm"),
+        F.round(F.expr("CAST(embedding[0] AS DOUBLE)") / nrm, 6).alias("e1_normed"),
     )
