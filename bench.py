@@ -59,17 +59,54 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # transparent comparator: the same oracle queries timed on DuckDB
+    # in-process (the BASELINE.md protocol), so each round's JSON carries
+    # its own spark-vs-duckdb ratio.
+    duck: dict[str, float] = {}
+    try:
+        import duckdb
+
+        from kse.catalog import TABLES, table_path
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            )
+        for name in HEADLINE:
+            sql = qs[name].oracle
+            if not sql:
+                continue
+            con.execute(sql).fetchall()  # warm-up
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck[name] = round(best, 4)
+    except Exception:
+        duck = {}
+
+    spark_total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "headline_query_total",
+        "value": spark_total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if duck:
+        duck_total = round(sum(duck.values()), 4)
+        out["duckdb_queries"] = duck
+        out["duckdb_total"] = duck_total
+        out["ratio_vs_duckdb_live"] = round(spark_total / duck_total, 3)
+    # BASELINE.md's recorded DuckDB numbers for the same 8 queries (survey
+    # session protocol) sum to 1.0297 s — kept here so the JSON carries
+    # both comparisons. Live DuckDB runs faster than the recorded baseline;
+    # Spark's ~0.15-0.3 s fixed per-query cost dominates at this data size
+    # (see DESIGN.md: at 10x data the flagship grows 3.8x, i.e. sub-linear).
+    out["baseline_md_total"] = 1.0297
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
