@@ -885,6 +885,28 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.sample(False, 0.1, 42).select("event_id", "event_type")
 
 
+@register(
+    "q_sample_hash",
+    oracle="""
+SELECT event_id, event_type
+FROM events
+WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS INT) % 10 = 0
+""",
+    doc=(
+        "Deterministic content-hash sampling (~10%): keep rows whose "
+        "md5(key) prefix mod 10 == 0. Unlike RNG sampling this is "
+        "reproducible across engines, runs, and repartitioning — the right "
+        "way to carve stable train/eval splits from a 100 TB corpus (the "
+        "split a row lands in is a pure function of its key). No shuffle; "
+        "the predicate evaluates map-side and pushes nothing to the driver."
+    ),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+    return e.filter(bucket.cast("int") % 10 == 0).select("event_id", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # §2.7 set operations
 # ---------------------------------------------------------------------------

@@ -1,6 +1,8 @@
 """UDF / UDAF / UDTF surface (SURVEY.md §2.11) — the Python escape hatches,
-each with its 100 TB cost documented. All rows-only checks (Python-side
-compute has no DuckDB twin).
+each with its 100 TB cost documented. The Python *mechanism* has no DuckDB
+twin, but every computation here is deterministic, so each carries a full
+value-hash oracle that re-expresses the same semantics in SQL — the
+strongest check available, upgraded from the original rows-only check.
 
 Cost ladder (per SURVEY.md §4 / pyspark guide):
 1. built-in functions — JVM, whole-stage codegen, free.          <- default
@@ -23,7 +25,12 @@ from kse.registry import register
 
 @register(
     "q_udf_scalar",
-    oracle=None,
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT)
+         AS n_vowels
+FROM documents
+""",
     doc=(
         "Row-at-a-time Python UDF (vowel counter) — deliberately the "
         "discouraged path: every row crosses JVM→Python individually. "
@@ -42,7 +49,12 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_udf_pandas_scalar",
-    oracle=None,
+    oracle="""
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+""",
     doc=(
         "Vectorized Arrow pandas_udf: L2 norm over the embedding column "
         "via one NumPy matmul per Arrow batch — the workhorse pattern for "
@@ -61,7 +73,18 @@ def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_udf_pandas_grouped",
-    oracle=None,
+    oracle="""
+WITH ex AS (
+  SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) r(i)
+), cent AS (
+  SELECT label, i, avg(v) AS c FROM ex GROUP BY label, i
+)
+SELECT ex.vec_id, ex.label,
+       round(sqrt(sum((ex.v - cent.c) * (ex.v - cent.c))), 6) AS centroid_dist
+FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+GROUP BY ex.vec_id, ex.label
+""",
     doc=(
         "Grouped-map applyInPandas: per label, distance of each vector to "
         "its own group centroid (a per-group model-fit shape). Each group "
@@ -91,7 +114,11 @@ def q_udf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_udtf",
-    oracle=None,
+    oracle="""
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, string_split(text, ' ')[i] AS token
+FROM documents, range(1, 6) r(i)
+WHERE doc_id < 100 AND i <= least(5, len(string_split(text, ' ')))
+""",
     doc=(
         "Table function (one row → many): explode each document into "
         "(doc_id, pos, token) rows via a Spark 4 Python UDTF. The "
