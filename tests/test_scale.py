@@ -44,3 +44,46 @@ def test_asof_merge_matches_naive(spark):
         ).collect()
     }
     assert merged == naive
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from kse.catalog import load
+    from kse.scale import bucketed_join, write_bucketed
+
+    li = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li.withColumnRenamed("l_orderkey", "k"), "t_li_b", "k", buckets=4)
+    write_bucketed(o.withColumnRenamed("o_orderkey", "k"), "t_o_b", "k", buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_li_b", "t_o_b", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # same answer as the naive (shuffling) join
+        naive = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert joined.count() == naive
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_o_b")
+
+
+def test_partitioned_layout_prunes_directories(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from kse.catalog import load
+    from kse.scale import write_partitioned
+
+    ev = load(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(ev, out, "event_type")
+    scan = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200], plan
+    # only the purchase partition's files are read
+    files = scan.select(F.input_file_name()).distinct().collect()
+    assert files and all("event_type=purchase" in r[0] for r in files)
+    # values survive the round trip
+    n = ev.filter(F.col("event_type") == "purchase").count()
+    assert scan.count() == n
