@@ -69,14 +69,21 @@ _BAND_ROWS = 4  # 4 bands x 4 rows; P(candidate) = 1-(1-j^4)^4 — steep at j≈
 def _minhash_sigs(d: DataFrame) -> DataFrame:
     """(doc_id, seed, minhash) — one row per doc per hash function.
 
-    Shingle → explode → xxhash64(seed, shingle) → min per (doc, seed).
-    All JVM-side; the explode is the only data blow-up (n_tokens × "
-    "NUM_HASHES) and collapses in the map-side partial min."""
+    Shingle → explode → md5(seed || ':' || shingle) → lexicographic min per
+    (doc, seed). All JVM-side; the explode is the only data blow-up
+    (n_tokens × NUM_HASHES) and collapses in the map-side partial min.
+    md5 (not xxhash64) so the whole pipeline is reproducible in any engine
+    — the DuckDB oracle recomputes identical signatures; at 100 TB swap in
+    xxhash64 for ~3x cheaper hashing when cross-engine parity isn't needed."""
     sh = d.select("doc_id", F.explode(_shingle()).alias("shingle"))
     seeds = F.explode(F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1))).alias("seed")
     return (
         sh.select("doc_id", "shingle", seeds)
-        .select("doc_id", "seed", F.xxhash64("seed", "shingle").alias("h"))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed").cast("string"), "shingle")).alias("h"),
+        )
         .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("minhash"))
     )
@@ -117,16 +124,53 @@ def minhash_candidate_pairs(d: DataFrame) -> DataFrame:
     )
 
 
+_MINHASH_ORACLE = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(tok) - 2, 1) + 1),
+            i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])) AS shingles
+  FROM tk
+),
+hx AS (
+  SELECT doc_id, t.seed,
+         list_min(list_transform(shingles,
+            s -> md5(CAST(t.seed AS VARCHAR) || ':' || s))) AS minhash
+  FROM sh, (SELECT unnest(range(16)) AS seed) t
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS sig
+  FROM hx GROUP BY doc_id, CAST(seed // 4 AS INT)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+"""
+
+
 @register(
     "q_llm_dedup_minhash",
-    oracle=None,  # MinHash signatures are Spark-hash-specific — rows-only
+    oracle=_MINHASH_ORACLE
+    + """,
+cnt AS (
+  SELECT doc_id, count(*) AS n_candidates
+  FROM (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(cnt.n_candidates, 0) AS BIGINT) AS n_candidates
+FROM documents d LEFT JOIN cnt USING (doc_id)
+""",
     doc=(
         "MinHash + LSH near-dup detection (Broder '97), pure DataFrame ops: "
-        "3-token shingles → 16 minhashes (xxhash64, seeded by literal) → 4 "
-        "bands of 4 → equi-join on (band, signature). Output: one row per "
-        "doc with its candidate-duplicate count (0 for unique docs), so the "
-        "result is non-empty at every sf; pytest asserts the 8 planted "
-        "sf0.1 duplicate pairs are all found."
+        "3-token shingles → 16 minhashes (md5, seed-prefixed — every engine "
+        "derives identical signatures; swap xxhash64 at 100 TB when parity "
+        "isn't needed) → 4 bands of 4 → equi-join on (band, signature). "
+        "Output: one row per doc with its candidate-duplicate count (0 for "
+        "unique docs), so the result is non-empty at every sf; pytest "
+        "asserts the 8 planted sf0.1 duplicate pairs are all found."
     ),
 )
 def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,14 +191,36 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_dedup_simhash",
-    oracle=None,  # depends on Spark's xxhash64 — rows-only
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, token, count(*) AS cnt, md5(token) AS th
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+contrib AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN
+               ((strpos('0123456789abcdef', th[CAST(b.bit // 4 AS INT) + 1]) - 1)
+                >> (b.bit % 4)) & 1 = 1
+             THEN cnt ELSE -cnt END) AS s
+  FROM tok, (SELECT unnest(range(60)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                ELSE 0 END) AS BIGINT) AS simhash
+FROM contrib GROUP BY doc_id
+""",
     doc=(
-        "SimHash document fingerprint (63-bit, Charikar '02), all JVM-side: "
-        "per-token xxhash64 → per-bit ±count contributions (posexplode of a "
-        "63-slot lambda array) → sign → weighted bit reassembly into one "
-        "BIGINT per doc. Near-dup groups = equal fingerprints (or small "
-        "Hamming distance via 4-segment bucketing at scale). The 63x row "
-        "blow-up collapses in map-side partial aggregation."
+        "SimHash document fingerprint (60-bit, Charikar '02), all JVM-side: "
+        "per-token md5 → bit i read from hex digit i/4 (nibble bit i%4) → "
+        "per-bit ±count contributions (posexplode of a 60-slot lambda "
+        "array) → sign → weighted bit reassembly into one BIGINT per doc. "
+        "md5 (not xxhash64) keeps the fingerprint engine-independent — the "
+        "oracle recomputes it bit-for-bit. Near-dup groups = equal "
+        "fingerprints (or small Hamming distance via 4-segment bucketing "
+        "at scale). The 60x row blow-up collapses in map-side partial "
+        "aggregation."
     ),
 )
 def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,15 +229,18 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("th", F.xxhash64(F.lit(7), "token"))
+        .withColumn("th", F.md5("token"))
     )
-    # contribution vector: +cnt when bit i of token-hash is set, else -cnt
+    # bit i of the 60-bit hash = bit (i%4) of hex digit (i/4) of md5(token);
+    # contribution vector: +cnt when that bit is set, else -cnt
     contrib = tok.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, 62),"
-                " i -> CASE WHEN ((th >> i) & 1) = 1 THEN cnt ELSE -cnt END)"
+                "transform(sequence(0, 59), i -> CASE WHEN"
+                " shiftright(instr('0123456789abcdef', substring(th, CAST(i / 4 AS INT) + 1, 1)) - 1,"
+                "            CAST(i % 4 AS INT)) & 1 = 1"
+                " THEN cnt ELSE -cnt END)"
             )
         ).alias("bit", "c"),
     )
@@ -191,7 +260,27 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_dedup_ngram_jaccard",
-    oracle=None,  # candidates come from Spark-hash MinHash — rows-only
+    oracle=_MINHASH_ORACLE
+    + """,
+dsh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         / (len(a.sh) + len(b.sh)
+            - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS jaccard
+  FROM pairs p
+  JOIN dsh a ON p.doc_a = a.doc_id
+  JOIN dsh b ON p.doc_b = b.doc_id
+),
+per_doc AS (
+  SELECT doc_id, max(jaccard) AS max_jaccard
+  FROM (SELECT doc_a AS doc_id, jaccard FROM jac
+        UNION ALL SELECT doc_b, jaccard FROM jac)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, round(coalesce(per_doc.max_jaccard, 0.0), 6) AS max_jaccard
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+""",
     doc=(
         "Exact n-gram Jaccard verification over MinHash candidates: per "
         "doc, the max 3-gram Jaccard among its LSH candidate partners "
@@ -327,18 +416,31 @@ def q_llm_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PLANES = 8
 
 
+def _plane_sign(j: int, i: int) -> float:
+    """±1 component i of hyperplane j, derived from md5 of the literal
+    indices — deterministic across processes, engines, and cluster sizes."""
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"{j}:{i}".encode()).digest()[0] & 1 else -1.0
+
+
+_PLANES = [[_plane_sign(j, i) for i in range(64)] for j in range(_N_PLANES)]
+
+
 def _lsh_bucket(col_name: str) -> F.Column:
     """Deterministic random-hyperplane LSH bucket id (8 bits).
 
-    Plane j's component i is a pseudo-random ±1 derived from xxhash64(j, i)
-    — a literal-seeded hash, not an RNG, so every executor (and every rerun)
-    derives identical planes with no broadcast of plane data at all."""
+    The ±1 planes are precomputed driver-side from md5 of literal indices
+    and inlined as constant arrays — zero per-row hash work, no broadcast,
+    and any engine (the DuckDB oracle included) reproduces the identical
+    bucket assignment from the same literals. The left-fold aggregate
+    fixes the summation order so the sign test is bit-identical across
+    engines."""
     bits = []
-    for j in range(_N_PLANES):
+    for j, plane in enumerate(_PLANES):
+        arr = "array(" + ",".join(f"{v:.1f}D" for v in plane) + ")"
         proj = F.expr(
-            f"aggregate(zip_with({col_name}, transform(sequence(1, 64),"
-            f" i -> CASE WHEN (xxhash64({j}, i) & 1) = 1 THEN 1.0 ELSE -1.0 END),"
-            " (x, p) -> CAST(x AS DOUBLE) * p),"
+            f"aggregate(zip_with({col_name}, {arr}, (x, p) -> CAST(x AS DOUBLE) * p),"
             " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
@@ -348,16 +450,58 @@ def _lsh_bucket(col_name: str) -> F.Column:
     return out.alias("bucket")
 
 
+def _lsh_bucket_sql(col: str) -> str:
+    """DuckDB expression computing the same bucket id as :func:`_lsh_bucket`
+    (same literal planes, same left-fold summation order via list_reduce)."""
+    terms = []
+    for j, plane in enumerate(_PLANES):
+        lst = "[" + ",".join(f"{v:.1f}" for v in plane) + "]"
+        proj = (
+            f"list_reduce(list_transform(range(1, 65),"
+            f" i -> CAST({col}[i] AS DOUBLE) * ({lst}[i])), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM_SQL = "sqrt(list_sum(list_transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
 @register(
     "q_llm_sim_lsh_ann",
-    oracle=None,  # LSH bucketing is plane-derivation-specific — rows-only
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, label, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS q_bucket
+      FROM bucketed WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         {_DOT_SQL.format(a='b.embedding', b='q.qe')}
+         / ({_NORM_SQL.format(c='b.embedding')} * {_NORM_SQL.format(c='q.qe')}) AS cos_raw
+  FROM bucketed b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos_sim,
+       CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
     doc=(
         "Approximate NN via random-hyperplane LSH: 8 deterministic planes "
-        "→ 256 buckets → exact cosine rerank only within the query's "
-        "bucket (equi-join on bucket id, no cross join). Returns top-3 "
-        "neighbours for each of 8 query vectors. At 100 TB: multi-probe "
-        "(flip lowest-margin bits) to trade recall for fan-out, and "
-        "bucket-partitioned parquet so probes prune partitions."
+        "(literal ±1 arrays derived from md5 — the oracle reproduces the "
+        "exact buckets) → 256 buckets → exact cosine rerank only within "
+        "the query's bucket (equi-join on bucket id, no cross join). "
+        "Returns top-3 neighbours for each of 8 query vectors. At 100 TB: "
+        "multi-probe (flip lowest-margin bits) to trade recall for "
+        "fan-out, and bucket-partitioned parquet so probes prune "
+        "partitions."
     ),
 )
 def q_llm_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,12 +536,30 @@ def q_llm_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_dedup_embed",
-    oracle=None,  # bucket-restricted — rows-only
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id,
+         {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+         / ({_NORM_SQL.format(c='a.embedding')} * {_NORM_SQL.format(c='b.embedding')}) AS cos_raw
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+mx AS (SELECT vec_id, round(max(cos_raw), 4) AS max_bucket_cos
+       FROM scored GROUP BY vec_id)
+SELECT e.vec_id, coalesce(mx.max_bucket_cos, -1.0) AS max_bucket_cos
+FROM embeddings e LEFT JOIN mx USING (vec_id)
+""",
     doc=(
         "Embedding-cosine near-dup: per vector, the max cosine to any "
         "*other* vector in its LSH bucket (bucket equi-self-join — the "
-        "all-pairs O(n²) never materializes). Vectors in singleton buckets "
-        "report -1.0. Output: one row per vector at every sf."
+        "all-pairs O(n²) never materializes; the oracle reproduces the "
+        "identical buckets from the same literal planes). Vectors in "
+        "singleton buckets report -1.0. Output: one row per vector at "
+        "every sf."
     ),
 )
 def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,9 +918,52 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_DIST_SQL = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
 @register(
     "q_llm_sim_ivf",
-    oracle=None,  # centroid assignment is engine-internal — rows-only
+    oracle=f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce
+               FROM embeddings WHERE vec_id < 8),
+dists AS (
+  SELECT e.vec_id, c.cent_id,
+         {_IVF_DIST_SQL.format(a='e.embedding', b='c.ce')} AS dist
+  FROM embeddings e, cents c
+),
+lists AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+    FROM dists) WHERE rn = 1
+),
+probes AS (
+  SELECT cent_id AS probe_cent FROM (
+    SELECT cent_id, row_number() OVER (ORDER BY dist, cent_id) AS rn
+    FROM dists WHERE vec_id = 0) WHERE rn <= 2
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.label, e.embedding
+  FROM embeddings e
+  JOIN lists l USING (vec_id)
+  JOIN probes p ON l.cent_id = p.probe_cent
+  WHERE e.vec_id <> 0
+)
+SELECT c.vec_id, c.label,
+       round({_DOT_SQL.format(a='c.embedding', b='q.qe')}
+             / ({_NORM_SQL.format(c='c.embedding')} * {_NORM_SQL.format(c='q.qe')}),
+             4) AS cos_sim
+FROM cand c, q
+ORDER BY {_DOT_SQL.format(a='c.embedding', b='q.qe')}
+         / ({_NORM_SQL.format(c='c.embedding')} * {_NORM_SQL.format(c='q.qe')}) DESC,
+         c.vec_id
+LIMIT 10
+""",
     doc=(
         "IVF-style ANN (inverted-file coarse quantizer): 8 deterministic "
         "coarse centroids (the embeddings of vec_id 0..7 — a stand-in for "
