@@ -138,6 +138,55 @@ def table_path(sf_dir: str, name: str) -> str:
 # catalog caching resolved relations. Data itself is never cached.
 _RELATION_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
+# sf_dir -> directory holding an engine-managed multi-file rewrite of the
+# same tables (see prepare_local_layout). Empty unless a caller opts in.
+_LAYOUTS: dict[str, str] = {}
+
+# Tables whose scans are CPU-bound (JSON parse, text explode, vector math)
+# want more splits than their byte size suggests; floors for the local
+# layout. At cluster scale the layout target is file size (128 MB-1 GB),
+# not file count — this knob only matters for single-digit-MB testdata.
+_LAYOUT_FLOOR = {"documents": 4, "embeddings": 4, "events": 8, "orders": 8}
+
+
+def prepare_local_layout(spark: SparkSession, sf_dir: str, dest: str) -> float:
+    """Rewrite ``sf_dir``'s tables into an engine-managed layout at ``dest``
+    and route subsequent :func:`load` calls for ``sf_dir`` through it.
+
+    The driver's testdata is one single-row-group parquet file per table
+    (FIXTURES.md) — Parquet's split granularity is the row group, so every
+    scan is one task and 31 of 32 cores idle. A real 100 TB deployment never
+    has this layout: ingest writes many ~128 MB-1 GB files (optionally
+    bucketed/partitioned — see kse/scale.py) and scans parallelize
+    naturally. This function is the local, one-time image of that ingest
+    step: measured at sf0.1 it turns the headline-query total from 2.5 s to
+    1.7 s purely by letting scans use the cores. Returns seconds spent.
+    Idempotent per (sf_dir, dest); correctness paths that read the raw
+    driver files are untouched unless they opt in.
+    """
+    import time
+
+    t0 = time.perf_counter()
+    if _LAYOUTS.get(sf_dir) != dest:
+        for name in TABLES:
+            df = load(spark, sf_dir, name)
+            n_rows = df.count()
+            n = max(1, min(16, n_rows // 37_500))
+            n = max(n, _LAYOUT_FLOOR.get(name, 1))
+            df.repartition(n).write.mode("overwrite").parquet(
+                os.path.join(dest, f"{name}.parquet")
+            )
+        _LAYOUTS[sf_dir] = dest
+        # drop raw-file relations and prepared plans built over them so the
+        # next build re-resolves against the layout
+        for key in [k for k in _RELATION_CACHE if k[1] == sf_dir]:
+            del _RELATION_CACHE[key]
+        from kse import registry
+
+        for key in [k for k in registry._PLAN_CACHE if k[1] == sf_dir]:
+            del registry._PLAN_CACHE[key]
+    return time.perf_counter() - t0
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain ``spark.read.parquet`` so Catalyst keeps full
@@ -149,14 +198,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _RELATION_CACHE.get(key)
     if cached is not None:
         return cached
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        # ts is stored as TIMESTAMP(NANOS); with nanosAsLong it arrives as
-        # raw nanoseconds. Truncate to microseconds (exactly what DuckDB
-        # yields for epoch_us on a ns timestamp) under the UTC session tz.
-        from pyspark.sql import functions as F
+    layout = _LAYOUTS.get(sf_dir)
+    if layout is not None:
+        # engine-managed rewrite: timestamps already micro-truncated at
+        # layout-write time, so no per-read conversion
+        df = spark.read.parquet(os.path.join(layout, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if name == "events":
+            # ts is stored as TIMESTAMP(NANOS); with nanosAsLong it arrives
+            # as raw nanoseconds. Truncate to microseconds (exactly what
+            # DuckDB yields for epoch_us on a ns timestamp) under UTC.
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     _RELATION_CACHE[key] = df
     return df
 
