@@ -235,7 +235,7 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(
             "event_type",
-            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.from_json("props", "k INT").getField("k").alias("k"),
             "value",
         )
         .groupBy("event_type", "k")

@@ -1,0 +1,254 @@
+"""Scaling-headroom harness: headline ops at 10x the bench tier.
+
+Synthesizes sf~1 data (6M lineitem / 1.5M orders / 1M events / 50k docs /
+20k vecs) with deterministic generators, writes it through the engine's
+multi-file layout, and times the headline queries on Spark and DuckDB over
+the *same* files. This is the repro behind DESIGN.md's "measured scaling
+headroom" table: the claim under test is that plans are shuffle-bounded
+(sub-linear wall-clock in rows on fixed cores) and that Spark's gap to an
+in-process engine narrows as data grows.
+
+Usage:  python tools/scale10.py [--rows-mult N]   (default 10)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from kse import catalog, registry  # noqa: E402
+from kse.session import get_session  # noqa: E402
+
+HEADLINE = [
+    "q_agg_groupby",
+    "q_join_multiway",
+    "q_join_inner_hash",
+    "q_topk_per_group",
+    "q_fn_json",
+    "q_llm_text_tokens",
+    "q_llm_dedup_exact",
+    "q_llm_sim_knn",
+]
+
+WORDS = [
+    "the", "of", "data", "stream", "event", "model", "spark", "query",
+    "join", "window", "state", "index", "shard", "batch", "token", "vector",
+]
+
+
+def synthesize(spark, dest: str, mult: int) -> None:
+    """Deterministic generators shaped like FIXTURES.md's domains."""
+    n_li, n_ord, n_cust = 600_000 * mult, 150_000 * mult, 15_000 * mult
+    n_ev, n_doc, n_vec = 100_000 * mult, 5_000 * mult, 2_000 * mult
+
+    def w(df, name, n_files):
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(dest, f"{name}.parquet")
+        )
+
+    r = spark.range(5).select(
+        F.col("id").cast("int").alias("r_regionkey"),
+        F.concat(F.lit("REGION#"), F.col("id")).alias("r_name"),
+    )
+    w(r, "region", 1)
+    n = spark.range(25).select(
+        F.col("id").cast("int").alias("n_nationkey"),
+        F.concat(F.lit("NATION#"), F.col("id")).alias("n_name"),
+        (F.col("id") % 5).cast("int").alias("n_regionkey"),
+    )
+    w(n, "nation", 1)
+    c = spark.range(n_cust).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("id")).alias("c_name"),
+        (F.col("id") % 25).cast("int").alias("c_nationkey"),
+        (F.pmod(F.xxhash64("id"), F.lit(100000)) / 100.0 - 100.0).alias("c_acctbal"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in ["AUTO", "BUILD", "HOUSE", "MACH", "FURN"]]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("c_mktsegment"),
+    )
+    w(c, "customer", 2)
+    s = spark.range(1_000 * mult).select(
+        F.col("id").alias("s_suppkey"),
+        F.concat(F.lit("Supplier#"), F.col("id")).alias("s_name"),
+        (F.col("id") % 25).cast("int").alias("s_nationkey"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100000)) / 100.0).alias("s_acctbal"),
+    )
+    w(s, "supplier", 1)
+    p = spark.range(20_000 * mult).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(F.lit("part "), F.col("id")).alias("p_name"),
+        F.concat(F.lit("Brand#"), (F.col("id") % 50 + 1)).alias("p_brand"),
+        F.concat(F.lit("TYPE "), (F.col("id") % 30)).alias("p_type"),
+        (F.col("id") % 50 + 1).cast("int").alias("p_size"),
+        (900.0 + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(120000)) / 100.0).alias(
+            "p_retailprice"
+        ),
+    )
+    w(p, "part", 2)
+    o = spark.range(n_ord).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(n_cust)).alias("o_custkey"),
+        F.element_at(
+            F.array(F.lit("O"), F.lit("F"), F.lit("P")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("o_orderstatus"),
+        (1000.0 + F.pmod(F.xxhash64("id", F.lit(4)), F.lit(50_000_000)) / 100.0).alias(
+            "o_totalprice"
+        ),
+        F.timestamp_micros(
+            (F.lit(694224000_000_000) + F.pmod(F.xxhash64("id", F.lit(5)), F.lit(220_000_000)) * F.lit(1_000_000)).cast("long")
+        ).cast("timestamp_ntz").alias("o_orderdate"),
+        F.concat(F.lit("PRIORITY-"), (F.col("id") % 5)).alias("o_orderpriority"),
+    )
+    w(o, "orders", 4 * max(1, mult // 2))
+    li = spark.range(n_li).select(
+        F.pmod(F.xxhash64("id", F.lit(6)), F.lit(n_ord)).alias("l_orderkey"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(20_000 * mult)).alias("l_partkey"),
+        F.pmod(F.xxhash64("id", F.lit(8)), F.lit(1_000 * mult)).alias("l_suppkey"),
+        (F.col("id") % 7 + 1).cast("int").alias("l_linenumber"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(50)) + 1).cast("double").alias("l_quantity"),
+        (901.0 + F.pmod(F.xxhash64("id", F.lit(10)), F.lit(10_000_000)) / 100.0).alias(
+            "l_extendedprice"
+        ),
+        (F.pmod(F.xxhash64("id", F.lit(11)), F.lit(11)) / 100.0).alias("l_discount"),
+        (F.pmod(F.xxhash64("id", F.lit(12)), F.lit(9)) / 100.0).alias("l_tax"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("l_returnflag"),
+        F.element_at(
+            F.array(F.lit("O"), F.lit("F")), (F.col("id") % 2 + 1).cast("int")
+        ).alias("l_linestatus"),
+        F.timestamp_micros(
+            (F.lit(788918400_000_000) + F.pmod(F.xxhash64("id", F.lit(13)), F.lit(215_000_000)) * F.lit(1_000_000)).cast("long")
+        ).cast("timestamp_ntz").alias("l_shipdate"),
+    )
+    w(li, "lineitem", 16 * max(1, mult // 2))
+    ev = spark.range(n_ev).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            (F.lit(1704067200_000_000) + F.pmod(F.xxhash64("id", F.lit(14)), F.lit(2_592_000)) * F.lit(1_000_000)).cast("long")
+        ).cast("timestamp_ntz").alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(15)), F.lit(1000 * mult)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in ["click", "view", "purchase", "signup", "error"]]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(16)), F.lit(100000)) / 1000.0).alias("value"),
+        F.concat(F.lit('{"k": '), F.pmod(F.xxhash64("id", F.lit(17)), F.lit(100)), F.lit("}")).alias("props"),
+    )
+    w(ev, "events", 8 * max(1, mult // 2))
+    word_arr = F.array(*[F.lit(x) for x in WORDS])
+    docs = spark.range(n_doc).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), (F.pmod(F.xxhash64("id", F.lit(18)), F.lit(80)) + 20).cast("int")),
+                lambda i: F.element_at(word_arr, (F.pmod(F.xxhash64(F.col("id"), i), F.lit(16)) + 1).cast("int")),
+            ),
+        ).alias("text"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in ["de", "en", "es", "fr", "zh"]]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("src-"), (F.col("id") % 7)).alias("source"),
+        F.lit(0).cast("long").alias("n_chars"),
+    ).withColumn("n_chars", F.length("text"))
+    w(docs, "documents", 4)
+    emb = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)) / 1000.0 - 1.0).cast("float"),
+        ).alias("embedding"),
+        (F.col("id") % 10).cast("int").alias("label"),
+    )
+    w(emb, "embeddings", 4)
+
+
+def main() -> None:
+    mult = 10
+    if "--rows-mult" in sys.argv:
+        mult = int(sys.argv[sys.argv.index("--rows-mult") + 1])
+    dest = f"/tmp/kse-scale{mult}x"
+    spark = get_session("kse-scale10")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(os.path.join(dest, "_DONE")):
+        shutil.rmtree(dest, ignore_errors=True)
+        t0 = time.perf_counter()
+        synthesize(spark, dest, mult)
+        open(os.path.join(dest, "_DONE"), "w").close()
+        print(f"# synthesized {mult}x at {dest} in {time.perf_counter()-t0:.1f}s")
+
+    # the generated dir IS the engine layout (multi-file, micros timestamps)
+    catalog._LAYOUTS[dest] = dest
+
+    def mat(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    qs = registry.all_queries()
+    for _ in range(2):
+        for name in HEADLINE:
+            mat(qs[name].fn(spark, dest))
+    spark_t: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            mat(qs[name].fn(spark, dest))
+            best = min(best, time.perf_counter() - t0)
+        spark_t[name] = best
+
+    duck_t: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in catalog.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{dest}/{t}.parquet/*.parquet')"
+            )
+        for _ in range(1):
+            for name in HEADLINE:
+                if qs[name].oracle:
+                    con.execute(qs[name].oracle).fetchall()
+        for name in HEADLINE:
+            if not qs[name].oracle:
+                continue
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(qs[name].oracle).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck_t[name] = best
+    except Exception as exc:  # pragma: no cover
+        print(f"# duckdb comparison skipped: {exc}")
+
+    print(f"| query | spark {mult}x | duckdb {mult}x | ratio |")
+    print("| --- | --- | --- | --- |")
+    for name in HEADLINE:
+        st = spark_t[name]
+        dt = duck_t.get(name)
+        ratio = f"{st / dt:.2f}x" if dt else "—"
+        print(
+            f"| {name} | {st*1000:.0f} ms | "
+            f"{(dt*1000):.0f} ms | {ratio} |" if dt else f"| {name} | {st*1000:.0f} ms | — | — |"
+        )
+    print(
+        f"| TOTAL | {sum(spark_t.values())*1000:.0f} ms | "
+        f"{sum(duck_t.values())*1000:.0f} ms | "
+        f"{sum(spark_t.values())/max(sum(duck_t.values()),1e-9):.2f}x |"
+    )
+
+
+if __name__ == "__main__":
+    main()
