@@ -183,9 +183,25 @@ def prepare_local_layout(spark: SparkSession, sf_dir: str, dest: str) -> float:
             del _RELATION_CACHE[key]
         from kse import registry
 
-        for key in [k for k in registry._PLAN_CACHE if k[1] == sf_dir]:
-            del registry._PLAN_CACHE[key]
+        registry.invalidate_plans(sf_dir, spark)
     return time.perf_counter() - t0
+
+
+def _normalize_session(spark: SparkSession) -> None:
+    """Set the runtime confs every query path depends on, once per session.
+
+    The driver calls ``queries()[name](spark, sf_dir)`` with ITS OWN
+    SparkSession, which need not carry kse.session's configs. Without
+    ``nanosAsLong`` a bare session cannot even read events.parquet
+    (TIMESTAMP(NANOS) → PARQUET_TYPE_ILLEGAL — verified), and non-UTC /
+    non-NTZ timestamp semantics silently diverge from the DuckDB oracle.
+    All three are runtime-settable (verified on Spark 4.1.2)."""
+    if getattr(spark, "_kse_normalized", False):
+        return
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    spark._kse_normalized = True
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -194,6 +210,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     contract tests assert the parquet footer matches it."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
+    _normalize_session(spark)
     key = (id(spark), sf_dir, name)
     cached = _RELATION_CACHE.get(key)
     if cached is not None:

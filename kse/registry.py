@@ -31,22 +31,36 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Prepared-plan cache: (app id, sf_dir, query name) -> built DataFrame.
-# A registered builder is a pure function of (spark, sf_dir) returning a
-# lazy plan, so re-invoking it re-pays the py4j plan-construction cost
-# (~30-140 ms/query, measured) for an identical plan. Memoizing the built
-# DataFrame is the prepared-statement path: execution (and Catalyst's
-# per-action re-optimization under AQE) is untouched, only the Python-side
-# plan build is skipped on repeat invocations.
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Prepared-plan cache, stored per-session: (sf_dir, query name) -> built
+# DataFrame. A registered builder is a pure function of (spark, sf_dir)
+# returning a lazy plan, so re-invoking it re-pays the py4j plan-
+# construction cost (~30-140 ms/query, measured) for an identical plan.
+# Memoizing the built DataFrame is the prepared-statement path: execution
+# (and Catalyst's per-action re-optimization under AQE) is untouched, only
+# the Python-side plan build is skipped on repeat invocations. Hanging the
+# dict off the session object (not a module global) ties each cached plan
+# to exactly the session/SQLConf it was built under and lets GC reclaim it
+# with the session.
 
 
-def _app_id(spark: SparkSession) -> str:
-    cached = getattr(spark, "_kse_app_id", None)
-    if cached is None:
-        cached = spark.sparkContext.applicationId
-        spark._kse_app_id = cached
-    return cached
+def _plan_cache(spark: SparkSession) -> dict[tuple[str, str], DataFrame]:
+    cache = getattr(spark, "_kse_plan_cache", None)
+    if cache is None:
+        cache = {}
+        spark._kse_plan_cache = cache
+    return cache
+
+
+def invalidate_plans(sf_dir: str | None = None, spark: SparkSession | None = None) -> None:
+    """Drop cached plans for ``sf_dir`` (all of them when None) from the
+    given session's cache, defaulting to the active session; layout changes
+    call this so the next build re-resolves against the new files."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        return
+    cache = _plan_cache(spark)
+    for key in [k for k in cache if sf_dir is None or k[0] == sf_dir]:
+        del cache[key]
 
 
 def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
@@ -57,11 +71,12 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
             raise ValueError(f"duplicate query name {name!r}")
 
         def cached_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-            key = (_app_id(spark), sf_dir, name)
-            df = _PLAN_CACHE.get(key)
+            cache = _plan_cache(spark)
+            key = (sf_dir, name)
+            df = cache.get(key)
             if df is None:
                 df = fn(spark, sf_dir)
-                _PLAN_CACHE[key] = df
+                cache[key] = df
             return df
 
         cached_fn.__name__ = fn.__name__

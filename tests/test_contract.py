@@ -82,3 +82,22 @@ def test_knn_uses_take_ordered(spark):
 
     plan = q_llm_sim_knn(spark, SF_T2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bare_session_is_normalized(spark):
+    """The driver calls queries() with its own SparkSession, which need not
+    carry kse.session's configs — catalog.load must self-normalize. A
+    session missing nanosAsLong cannot even read events.parquet
+    (TIMESTAMP(NANOS) -> PARQUET_TYPE_ILLEGAL)."""
+    bare = spark.newSession()
+    for k in (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
+    ):
+        bare.conf.unset(k)
+    bare.conf.set("spark.sql.session.timeZone", "America/New_York")
+    from kse.catalog import load
+
+    rows = load(bare, SF_SMOKE, "events").limit(5).collect()
+    assert len(rows) == 5
+    assert bare.conf.get("spark.sql.session.timeZone") == "UTC"
