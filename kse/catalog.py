@@ -148,6 +148,18 @@ _LAYOUTS: dict[str, str] = {}
 # not file count — this knob only matters for single-digit-MB testdata.
 _LAYOUT_FLOOR = {"documents": 4, "embeddings": 4, "events": 8, "orders": 8}
 
+# The two big fact tables land bucketed+sorted on their shared join key
+# (scale.write_bucketed's layout): every lineitem⋈orders query then runs
+# with zero Exchange on either side — the dominant cost of large⋈large
+# joins is paid once at ingest, not per query. 8 buckets ≈ the file-count
+# target above; at 100 TB the same layout targets ~128 MB-1 GB per bucket
+# file instead.
+_LAYOUT_BUCKETS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+_N_BUCKETS = 16
+
+# (sf_dir, table) -> catalog table name for bucketed layout members.
+_LAYOUT_TABLES: dict[tuple[str, str], str] = {}
+
 
 def prepare_local_layout(spark: SparkSession, sf_dir: str, dest: str) -> float:
     """Rewrite ``sf_dir``'s tables into an engine-managed layout at ``dest``
@@ -168,8 +180,27 @@ def prepare_local_layout(spark: SparkSession, sf_dir: str, dest: str) -> float:
 
     t0 = time.perf_counter()
     if _LAYOUTS.get(sf_dir) != dest:
+        from pyspark.sql import functions as F
+
         for name in TABLES:
             df = load(spark, sf_dir, name)
+            key = _LAYOUT_BUCKETS.get(name)
+            if key is not None:
+                # repartition on the bucket key first so each write task
+                # holds exactly one bucket -> one file per bucket, which is
+                # what lets the scan report its sort order downstream
+                tbl = f"kse_b_{name}_{abs(hash((sf_dir, dest))) % 10**8}"
+                (
+                    df.repartition(_N_BUCKETS, F.col(key))
+                    .write.mode("overwrite")
+                    .format("parquet")
+                    .option("path", os.path.join(dest, f"{name}_bucketed"))
+                    .bucketBy(_N_BUCKETS, key)
+                    .sortBy(key)
+                    .saveAsTable(tbl)
+                )
+                _LAYOUT_TABLES[(sf_dir, name)] = tbl
+                continue
             n_rows = df.count()
             n = max(1, min(16, n_rows // 37_500))
             n = max(n, _LAYOUT_FLOOR.get(name, 1))
@@ -219,7 +250,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if layout is not None:
         # engine-managed rewrite: timestamps already micro-truncated at
         # layout-write time, so no per-read conversion
-        df = spark.read.parquet(os.path.join(layout, f"{name}.parquet"))
+        tbl = _LAYOUT_TABLES.get((sf_dir, name))
+        if tbl is not None:
+            df = spark.table(tbl)  # bucketed: co-located joins, no Exchange
+        else:
+            df = spark.read.parquet(os.path.join(layout, f"{name}.parquet"))
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
         if name == "events":

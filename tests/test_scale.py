@@ -87,3 +87,35 @@ def test_partitioned_layout_prunes_directories(spark, tmp_path):
     # values survive the round trip
     n = ev.filter(F.col("event_type") == "purchase").count()
     assert scan.count() == n
+
+
+def test_layout_buckets_fact_tables_for_shuffle_free_join(spark, tmp_path):
+    """prepare_local_layout lands lineitem/orders bucketed on the order key
+    (catalog._LAYOUT_BUCKETS): at 100 TB neither side can broadcast, so the
+    layout must let the join plan with ZERO Exchange on either join side.
+    Broadcast is disabled here to surface exactly that plan."""
+    from kse import catalog, registry
+    from kse.queries.relational import q_join_inner_hash
+
+    saved_layouts = dict(catalog._LAYOUTS)
+    saved_tables = dict(catalog._LAYOUT_TABLES)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        catalog.prepare_local_layout(spark, SF_SMOKE, str(tmp_path / "layout"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = q_join_inner_hash(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # the only Exchange allowed is the final 5-group aggregation's; the
+        # join itself (everything below the join node) must be shuffle-free
+        join_part = plan[plan.index("Join") :]
+        assert "Exchange" not in join_part, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        catalog._LAYOUTS.clear()
+        catalog._LAYOUTS.update(saved_layouts)
+        catalog._LAYOUT_TABLES.clear()
+        catalog._LAYOUT_TABLES.update(saved_tables)
+        catalog._RELATION_CACHE.clear()
+        registry.invalidate_plans(spark=spark)
