@@ -59,3 +59,69 @@ def user_profiles(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas — the successor API (SPARK-49770):
+# named state variables (value/list/map), TTL, timers, and schema evolution,
+# backed by the RocksDB state store. Same operator semantics as
+# user_profiles above, so the test suite asserts both APIs agree.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class ProfileProcessor(StatefulProcessor):
+    """Running per-user profile as a StatefulProcessor.
+
+    One ValueState row per user — fixed-size state regardless of stream
+    length, mergeable across restarts via the checkpointed store. At 100 TB
+    of events the state is bounded by |distinct users|, and a TTL
+    (``ttlDurationMs``) would cap even that for churning populations.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("profile", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total, last = self._state.get() if self._state.exists() else (0, 0.0, None)
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                last = str(pdf["event_type"].iloc[-1])
+        self._state.update((n, total, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "last_type": [last],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profiles_tws(events: DataFrame) -> DataFrame:
+    """Stateful per-user profile via transformWithStateInPandas.
+
+    Requires the RocksDB state store provider (set by the caller/test:
+    ``spark.sql.streaming.stateStore.providerClass`` →
+    ``...state.RocksDBStateStoreProvider``) — the provider TWS is built on —
+    and the ``protobuf`` package in the Python workers (TWS's state protocol
+    is protobuf-framed; absent here, so the pytest is importorskip-gated,
+    while ``user_profiles`` above covers the same semantics on the
+    always-available applyInPandasWithState API).
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        ProfileProcessor(),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -244,3 +244,39 @@ def test_transform_parses_props_batch(spark):
              "user_id", "event_type", "value", "props")
     out = transform(df).collect()
     assert out[0].k == 42
+
+
+def test_stateful_tws_matches_applyinpandaswithstate(spark, tmp_events_dir, tmp_path):
+    """st_stateful_custom, Spark-4 API: transformWithStateInPandas produces
+    the same per-user profiles as the applyInPandasWithState operator.
+
+    TWS's driver-side Python runner needs protobuf (StateMessage protocol);
+    skipped where protobuf isn't installed — verified: without it the
+    runner crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE."""
+    pytest.importorskip("google.protobuf")
+    write_event_chunk(
+        tmp_events_dir,
+        "000.json",
+        [
+            ev(1, "2024-01-01T10:00:00Z", user_id=1, etype="click", value=1.0),
+            ev(2, "2024-01-01T10:01:00Z", user_id=1, etype="purchase", value=9.5),
+            ev(3, "2024-01-01T10:02:00Z", user_id=2, etype="view", value=0.5),
+        ],
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(ST.user_profiles_tws(file_events(spark, tmp_events_dir)), name, tmp_path)
+        got = {r.user_id: (r.n_events, r.total_value, r.last_type)
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert got[1] == (2, 10.5, "purchase")
+    assert got[2] == (1, 0.5, "view")
