@@ -413,6 +413,61 @@ def q_llm_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_sim_knn_batch",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS cos_raw
+  FROM embeddings e, q
+  WHERE e.vec_id >= 5
+)
+SELECT query_id, vec_id, round(cos_raw, 4) AS cos_sim
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) <= 3
+""",
+    doc=(
+        "Batched kNN — the ANN-serving shape: a TABLE of query vectors "
+        "(broadcast, it is the small side) against the corpus, top-3 per "
+        "query via a per-query_id window. Catalyst inserts WindowGroupLimit "
+        "on both sides of the shuffle, so each partition forwards at most k "
+        "rows per query — the shuffle carries O(|queries| * k), never the "
+        "scored corpus. At 100 TB: corpus stays put, queries broadcast, and "
+        "the LSH/IVF variants (below) bound the candidate set first."
+    ),
+)
+def q_llm_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_raw",
+            _dot_q()
+            / (
+                F.expr(_NORM.format(c="embedding"))
+                * F.expr(_NORM.format(c="q_embedding"))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
 _N_PLANES = 8
 
 
