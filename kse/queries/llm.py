@@ -723,6 +723,82 @@ def q_llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_inverted_index",
+    oracle="""
+SELECT token,
+       count(DISTINCT doc_id) AS doc_freq,
+       list_sort(list(DISTINCT doc_id)) AS postings
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE len(token) >= 6
+GROUP BY token
+""",
+    doc=(
+        "Inverted-index build — the batch image of what the reference's "
+        "Elasticsearch sink materializes per document: term -> sorted "
+        "posting list + document frequency. explode -> groupBy(term) with "
+        "collect_set collapses map-side, so the shuffle carries one "
+        "(term, partial postings) row per partition, never the corpus. At "
+        "100 TB: postings for stop-words would dominate a partition — "
+        "filter them (here: short tokens) or range-bucket hot terms; serve "
+        "lookups from the materialized table, not the raw corpus."
+    ),
+)
+def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.length("token") >= 6)
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        )
+    )
+
+
+@register(
+    "q_llm_index_lookup",
+    oracle="""
+WITH hits AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  WHERE token IN ('scan', 'column')
+  GROUP BY doc_id, token
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM hits
+GROUP BY doc_id
+HAVING count(DISTINCT token) = 2
+""",
+    doc=(
+        "Full-text AND search over the corpus — the query side of the "
+        "reference's Elasticsearch role: docs containing ALL terms, ranked "
+        "by summed term frequency. The IN-list predicate lands before the "
+        "explode's shuffle, so only matching (doc, term) rows move; served "
+        "from the materialized q_llm_inverted_index table at scale, this "
+        "becomes a |terms|-row posting-list intersection instead of a scan."
+    ),
+)
+def q_llm_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    hits = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token").isin("scan", "column"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("total_tf"),
+            F.countDistinct("token").alias("_nt"),
+        )
+        .filter(F.col("_nt") == 2)
+        .select("doc_id", "total_tf")
+    )
+
+
+@register(
     "q_llm_lang_id",
     oracle="""
 WITH scored AS (
