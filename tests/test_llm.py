@@ -129,3 +129,58 @@ def test_lsh_ann_deterministic(spark):
     a = sorted(map(tuple, q_llm_sim_lsh_ann(spark, SF_T2).collect()))
     b = sorted(map(tuple, q_llm_sim_lsh_ann(spark, SF_T2).collect()))
     assert a == b
+
+
+def test_inverted_index_invariants(spark):
+    """doc_freq must equal the posting-list length (postings are distinct
+    doc ids), and every posting list is strictly sorted."""
+    from kse.queries.llm import q_llm_inverted_index
+
+    rows = q_llm_inverted_index(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_freq == len(r.postings)
+        assert list(r.postings) == sorted(set(r.postings))
+
+
+def test_index_lookup_and_semantics(spark):
+    """Every hit must actually contain BOTH search terms; total_tf equals
+    the hand-counted occurrences."""
+    from kse.queries.llm import q_llm_index_lookup
+
+    from kse.catalog import load
+
+    hits = {r.doc_id: r.total_tf for r in q_llm_index_lookup(spark, SF_SMOKE).collect()}
+    docs = {r.doc_id: r.text.lower().split(" ") for r in load(spark, SF_SMOKE, "documents").collect()}
+    expected = {
+        did: toks.count("scan") + toks.count("column")
+        for did, toks in docs.items()
+        if "scan" in toks and "column" in toks
+    }
+    assert hits == expected
+
+
+def test_knn_batch_agrees_with_single_query(spark):
+    """The batched kNN restricted to query_id=0 must rank the same corpus
+    neighbours as brute force over the same candidate set (vec_id >= 5)."""
+    import math
+
+    from kse.catalog import load
+    from kse.queries.llm import q_llm_sim_knn_batch
+
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in q_llm_sim_knn_batch(spark, SF_SMOKE).filter("query_id = 0").collect()
+    ]
+    vecs = {r.vec_id: r.embedding for r in load(spark, SF_SMOKE, "embeddings").collect()}
+    q = vecs[0]
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(float(x) ** 2 for x in a)) * math.sqrt(sum(float(y) ** 2 for y in b)))
+
+    want = sorted(((vid, cos(v, q)) for vid, v in vecs.items() if vid >= 5),
+                  key=lambda t: (-t[1], t[0]))[:3]
+    assert [v for v, _ in got] == [v for v, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 5e-4
