@@ -799,6 +799,57 @@ def q_llm_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_embed_quantize",
+    oracle="""
+WITH per_vec AS (
+  SELECT label,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s,
+         embedding
+  FROM embeddings
+), err AS (
+  SELECT label,
+         list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE)
+                 - floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) * s / 127.0)) AS e
+  FROM per_vec
+  WHERE s > 0
+)
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(list_sum(e) / 64.0), 6) AS mean_err,
+       round(max(list_max(e)), 6) AS max_err
+FROM err
+GROUP BY label
+""",
+    doc=(
+        "Symmetric per-vector int8 quantization audit: q_i = "
+        "floor(x_i*127/s + 0.5) with s = max|x_i|, reconstruction "
+        "x'_i = q_i*s/127 — the 4x storage/IO cut that makes 100 TB "
+        "similarity scans affordable (int8 corpus + fp32 rerank of the "
+        "top candidates). Reports reconstruction-error stats per label; "
+        "error is bounded by s/254 per element, which the pytest asserts. "
+        "All elementwise math is JVM higher-order lambdas, identical IEEE "
+        "ops in both engines; only the per-group averages are rounded."
+    ),
+)
+def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    abs_max = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    errs = (
+        "transform(embedding, x -> abs(CAST(x AS DOUBLE)"
+        " - floor(CAST(x AS DOUBLE) * 127.0D / s + 0.5D) * s / 127.0D))"
+    )
+    per_vec = e.withColumn("s", F.expr(abs_max)).filter(F.col("s") > 0)
+    err = per_vec.select("label", F.expr(errs).alias("e"))
+    agg_sum = "aggregate(e, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    return err.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(F.expr(agg_sum) / 64.0), 6).alias("mean_err"),
+        F.round(F.max(F.expr("array_max(e)")), 6).alias("max_err"),
+    )
+
+
+@register(
     "q_llm_lang_id",
     oracle="""
 WITH scored AS (

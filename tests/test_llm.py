@@ -184,3 +184,21 @@ def test_knn_batch_agrees_with_single_query(spark):
     assert [v for v, _ in got] == [v for v, _ in want]
     for (_, a), (_, b) in zip(got, want):
         assert abs(a - b) < 5e-4
+
+
+def test_embed_quantize_error_bound(spark):
+    """int8 reconstruction error is bounded by s/254 per element (half a
+    quantization step), which is what makes quantized scan + fp32 rerank
+    safe; verify the bound holds row by row on real vectors."""
+    import math
+
+    from kse.catalog import load
+
+    for r in load(spark, SF_SMOKE, "embeddings").collect():
+        s = max(abs(float(x)) for x in r.embedding)
+        if s == 0:
+            continue
+        for x in r.embedding:
+            x = float(x)
+            q = math.floor(x * 127.0 / s + 0.5)
+            assert abs(x - q * s / 127.0) <= s / 254.0 + 1e-12
