@@ -111,6 +111,36 @@ def main() -> None:
     except Exception:
         duck = {}
 
+    # streaming throughput: the reference's own identity (source → tumbling
+    # window → indexed documents), drained end-to-end over the layout's
+    # events files with availableNow. Fresh checkpoint+index per run (the
+    # pipeline is idempotent per checkpoint, so re-timing needs new dirs);
+    # best of 2. Reported as events/sec alongside the batch numbers.
+    import shutil
+    import tempfile
+
+    from kse.streaming.pipeline import run_offline
+
+    events_dir = os.path.join("/tmp", f"kse-layout-{sf:g}", "events.parquet")
+    n_events = spark.read.parquet(events_dir).count()
+    stream_best = float("inf")
+    for _ in range(2):
+        workdir = tempfile.mkdtemp(prefix="kse-bench-stream-")
+        try:
+            t0 = time.perf_counter()
+            q = run_offline(
+                spark,
+                events_dir,
+                os.path.join(workdir, "index"),
+                os.path.join(workdir, "ckpt"),
+                fmt="parquet",
+                max_files_per_trigger=None,
+            )
+            q.awaitTermination()
+            stream_best = min(stream_best, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
     spark_total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_query_total",
@@ -119,6 +149,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "layout_s": round(layout_s, 2),
+        "streaming_pipeline_s": round(stream_best, 4),
+        "streaming_events_per_sec": int(n_events / stream_best),
     }
     if duck:
         duck_total = round(sum(duck.values()), 4)

@@ -73,6 +73,9 @@ def run_offline(
     index_root: str,
     checkpoint_dir: str,
     cfg: PipelineConfig = PipelineConfig(),
+    *,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = 1,
 ):
     """Offline end-to-end run: file-source replay → windowed docs → JSONL
     index, availableNow (drain everything, then stop). Returns the query
@@ -80,7 +83,9 @@ def run_offline(
     from kse.sinks.indexer import JsonlIndexer, write_stream_to_index
     from kse.streaming.sources import file_events
 
-    events = file_events(spark, events_dir)
+    events = file_events(
+        spark, events_dir, fmt=fmt, max_files_per_trigger=max_files_per_trigger
+    )
     docs = windowed_docs(events, cfg)
     return write_stream_to_index(
         docs,

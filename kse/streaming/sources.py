@@ -70,14 +70,23 @@ def kafka_events(
     return parsed.select("e.*")
 
 
-def file_events(spark: SparkSession, path: str, *, fmt: str = "json") -> DataFrame:
+def file_events(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
     """File-source stand-in for Kafka (deterministic replay in tests).
 
     Each file dropped into ``path`` becomes (part of) a micro-batch;
     ``maxFilesPerTrigger=1`` + chronologically-named chunks reproduce an
-    ordered stream.
-    """
-    reader = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1)
+    ordered stream. Pass ``max_files_per_trigger=None`` to drain the whole
+    directory in one batch (throughput benchmarking — per-trigger overhead
+    would otherwise dominate)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if fmt == "json":
         return reader.json(path)
     if fmt == "parquet":
