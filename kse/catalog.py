@@ -180,9 +180,11 @@ def prepare_local_layout(spark: SparkSession, sf_dir: str, dest: str) -> float:
 
     t0 = time.perf_counter()
     if _LAYOUTS.get(sf_dir) != dest:
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.sql import functions as F
 
-        for name in TABLES:
+        def write_one(name: str) -> None:
             df = load(spark, sf_dir, name)
             key = _LAYOUT_BUCKETS.get(name)
             if key is not None:
@@ -200,13 +202,20 @@ def prepare_local_layout(spark: SparkSession, sf_dir: str, dest: str) -> float:
                     .saveAsTable(tbl)
                 )
                 _LAYOUT_TABLES[(sf_dir, name)] = tbl
-                continue
+                return
             n_rows = df.count()
             n = max(1, min(16, n_rows // 37_500))
             n = max(n, _LAYOUT_FLOOR.get(name, 1))
             df.repartition(n).write.mode("overwrite").parquet(
                 os.path.join(dest, f"{name}.parquet")
             )
+
+        # per-table writes are independent Spark actions; running them from
+        # driver threads overlaps their scheduling + IO (Spark is thread-
+        # safe for concurrent actions on one session). Ingest at cluster
+        # scale is the same shape: many tables landing concurrently.
+        with ThreadPoolExecutor(max_workers=len(TABLES)) as pool:
+            list(pool.map(write_one, TABLES))
         _LAYOUTS[sf_dir] = dest
         # drop raw-file relations and prepared plans built over them so the
         # next build re-resolves against the layout
