@@ -850,6 +850,39 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_dedup_editdist",
+    oracle="""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM documents a JOIN documents b
+  ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 10
+""",
+    doc=(
+        "Edit-distance near-dup verification with BLOCKING: candidate "
+        "pairs come from a cheap equi-join on a blocking key (exact "
+        "length here; shingle/MinHash bands in the scaled variants), and "
+        "only candidates pay the O(len^2) levenshtein. The all-pairs "
+        "form is O(n^2) and never runs: at 100 TB the blocking join is "
+        "the entire design — candidates per block are bounded, so the "
+        "quadratic stays inside a partition. Exact duplicates surface at "
+        "dist=0; near-misses under the threshold rank above it."
+    ),
+)
+def q_llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"), "n_chars")
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"), "n_chars")
+    return (
+        a.join(b, ["n_chars"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", F.levenshtein("text_a", "text_b").cast("bigint"))
+        .filter(F.col("dist") <= 10)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+@register(
     "q_llm_lang_id",
     oracle="""
 WITH scored AS (
