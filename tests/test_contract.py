@@ -114,3 +114,14 @@ def test_readme_coverage_table_matches_registry():
     readme = open(os.path.join(os.path.dirname(__file__), "..", "README.md")).read()
     table_ids = set(re.findall(r"\| `((?:q|src)_[a-z_0-9]+)` \| `kse", readme))
     assert table_ids == set(registry.queries())
+
+
+def test_cli_list(capsys):
+    """python -m kse list prints every registered query with its check kind."""
+    from kse.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in registry.queries():
+        assert name in out
+    assert "[oracle" in out and "[rows-only" in out
