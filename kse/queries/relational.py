@@ -652,6 +652,25 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_approx_percentile",
+    doc=(
+        "Approximate percentiles via percentile_approx (Greenwald-Khanna "
+        "sketch, accuracy 10000): fixed-size, mergeable across partitions — "
+        "the 100 TB replacement for exact percentile's per-group sort. "
+        "rows-only check (sketch values legitimately differ from exact); "
+        "the pytest suite asserts <1% relative error vs the exact operator."
+    ),
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.expr("percentile_approx(l_extendedprice, 0.5, 10000)"), "p50"),
+        r4(F.expr("percentile_approx(l_extendedprice, 0.9, 10000)"), "p90"),
+        r4(F.expr("percentile_approx(l_quantity, 0.25, 10000)"), "q1_qty"),
+    )
+
+
+@register(
     "q_agg_stats",
     oracle="""
 SELECT l_linestatus,

@@ -84,3 +84,27 @@ def test_sessionize_gap_count_property(spark, offsets_min):
     n_sessions = flagged.agg(F.sum("new_s")).collect()[0][0]
     expected = 1 + sum(1 for a, b in zip(ts, ts[1:]) if (b - a) * 60_000_000 > gap_us)
     assert n_sessions == expected
+
+
+def test_window_sum_consistent_with_groupby_sum(spark):
+    """The last running-sum value within each partition must equal the
+    group's total — windows and aggregates see the same data (SURVEY §5.4)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kse.catalog import load
+
+    from .conftest import SF_SMOKE
+
+    e = load(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running_last = (
+        e.withColumn("rsum", F.sum("value").over(w))
+        .groupBy("user_id")
+        .agg(F.max("rsum").alias("final_rsum"))
+    )
+    totals = e.groupBy("user_id").agg(F.sum("value").alias("total"))
+    joined = running_last.join(totals, "user_id").collect()
+    assert joined
+    for r in joined:
+        assert abs(r.final_rsum - r.total) < 1e-6

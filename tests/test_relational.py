@@ -84,3 +84,18 @@ def test_sample_deterministic_with_seed(spark):
     s2 = sorted(r.event_id for r in e.sample(False, 0.1, 42).select("event_id").collect())
     assert s1 == s2
     assert 0.03 < len(s1) / 1000 < 0.25  # fraction in a sane band
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """percentile_approx (GK sketch) stays within 1% relative error of the
+    exact per-group percentiles — the accuracy contract that justifies the
+    sketch swap at scale."""
+    from kse.queries.relational import q_agg_approx_percentile, q_agg_percentile
+
+    exact = {r.l_returnflag: r for r in q_agg_percentile(spark, SF_SMOKE).collect()}
+    approx = {r.l_returnflag: r for r in q_agg_approx_percentile(spark, SF_SMOKE).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        for fld in ("p50", "p90", "q1_qty"):
+            e, a = getattr(exact[k], fld), getattr(approx[k], fld)
+            assert abs(a - e) <= 0.01 * abs(e) + 1e-9, (k, fld, e, a)
