@@ -191,7 +191,12 @@ def prepare_local_layout(spark: SparkSession, sf_dir: str, dest: str) -> float:
                 # repartition on the bucket key first so each write task
                 # holds exactly one bucket -> one file per bucket, which is
                 # what lets the scan report its sort order downstream
-                tbl = f"kse_b_{name}_{abs(hash((sf_dir, dest))) % 10**8}"
+                # stable digest, not hash() (randomized per process) — the
+                # catalog table name is deterministic across runs
+                import hashlib
+
+                tag = hashlib.md5(f"{sf_dir}|{dest}".encode()).hexdigest()[:8]
+                tbl = f"kse_b_{name}_{tag}"
                 (
                     df.repartition(_N_BUCKETS, F.col(key))
                     .write.mode("overwrite")
