@@ -883,6 +883,62 @@ def q_llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_shard_assign",
+    oracle="""
+SELECT doc_id,
+       CAST(floor((sum(n_chars) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                  / 50000.0) AS BIGINT) AS shard
+FROM documents
+""",
+    doc=(
+        "Deterministic shard assignment for training-data export: running "
+        "n_chars total in stable doc_id order, shard = floor((cumsum-1)/"
+        "budget) — every engine and every rerun produces the same packing. "
+        "The global ORDER BY window is the scale caveat: at 100 TB assign "
+        "a coarse range first (hash/date partition), then run this per "
+        "partition with a per-partition base offset — same result, no "
+        "single-reducer window. Greedy size-aware bin packing is "
+        "deliberately NOT used: it is order-dependent and unstable under "
+        "repartitioning."
+    ),
+)
+def q_llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return d.select(
+        "doc_id",
+        F.floor((F.sum("n_chars").over(w) - 1) / 50000.0).cast("bigint").alias("shard"),
+    )
+
+
+@register(
+    "q_llm_sample_stratified",
+    doc=(
+        "Stratified sampling by source — the data-mixing op of a training "
+        "pipeline (upweight curated sources, downsample crawl): "
+        "df.sampleBy('source', fractions, seed). Per-row Bernoulli against "
+        "a seeded hash, no shuffle, embarrassingly parallel at 100 TB. "
+        "rows-only (seeded sampling differs across engines by design); the "
+        "pytest asserts per-stratum rates land in tolerance and the draw "
+        "is reproducible for a fixed seed."
+    ),
+)
+def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    # sources are src0..src19 (measured); mix: keep every 4th source
+    # fully, halve even ones, quarter the rest
+    fractions = {
+        f"src{i}": (1.0 if i % 4 == 0 else 0.5 if i % 2 == 0 else 0.25)
+        for i in range(20)
+    }
+    sampled = d.sampleBy("source", fractions, seed=42)
+    return sampled.groupBy("source").agg(F.count("*").alias("n_sampled"))
+
+
+@register(
     "q_llm_lang_id",
     oracle="""
 WITH scored AS (

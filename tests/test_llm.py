@@ -202,3 +202,43 @@ def test_embed_quantize_error_bound(spark):
             x = float(x)
             q = math.floor(x * 127.0 / s + 0.5)
             assert abs(x - q * s / 127.0) <= s / 254.0 + 1e-12
+
+
+def test_stratified_sample_rates_and_reproducibility(spark):
+    """sampleBy rates per stratum land near the requested fractions and the
+    seeded draw is identical across invocations."""
+    from kse.catalog import load
+    from kse.queries.llm import q_llm_sample_stratified
+
+    totals = {r.source: r.n for r in load(spark, SF_SMOKE, "documents")
+              .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    a = {r.source: r.n_sampled for r in q_llm_sample_stratified(spark, SF_SMOKE).collect()}
+    b = {r.source: r.n_sampled for r in q_llm_sample_stratified(spark, SF_SMOKE).collect()}
+    assert a == b  # fixed seed -> identical draw
+    for src, n in a.items():
+        i = int(src.removeprefix("src"))
+        frac = 1.0 if i % 4 == 0 else 0.5 if i % 2 == 0 else 0.25
+        # binomial tolerance: 4 sigma + 1
+        import math
+        tol = 4 * math.sqrt(totals[src] * frac * (1 - frac)) + 1
+        assert abs(n - totals[src] * frac) <= tol, (src, n, totals[src], frac)
+
+
+def test_shard_assign_budget_respected(spark):
+    """Cumulative packing: shards are contiguous in doc_id order, cover all
+    docs, and no shard exceeds the 50k-char budget by more than one doc."""
+    from kse.catalog import load
+    from kse.queries.llm import q_llm_shard_assign
+
+    chars = {r.doc_id: r.n_chars for r in load(spark, SF_SMOKE, "documents").collect()}
+    assign = {r.doc_id: r.shard for r in q_llm_shard_assign(spark, SF_SMOKE).collect()}
+    assert set(assign) == set(chars)
+    # contiguity: shard ids are non-decreasing in doc_id order
+    ordered = [assign[d] for d in sorted(assign)]
+    assert all(a <= b for a, b in zip(ordered, ordered[1:]))
+    # budget: each shard's size stays under budget + max single doc
+    sizes = {}
+    for d, sh in assign.items():
+        sizes[sh] = sizes.get(sh, 0) + chars[d]
+    for sh, size in sizes.items():
+        assert size <= 50000 + max(chars.values())
