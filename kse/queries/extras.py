@@ -354,3 +354,84 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
         )
     )
+
+
+@register(
+    "q_agg_unpivot",
+    oracle="""
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    doc=(
+        "UNPIVOT / melt (wide -> long reshaping, the inverse of "
+        "q_agg_pivot): pivot lineitem counts wide by linestatus, then "
+        "unpivot back to (flag, status, n) rows. At scale unpivot is a "
+        "per-row expand (no shuffle beyond the producing aggregate); the "
+        "value-column list is pinned, as in production melts."
+    ),
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").pivot("l_linestatus", ["F", "O"]).count()
+    long = wide.unpivot(
+        ids=["l_returnflag"], values=["F", "O"],
+        variableColumnName="l_linestatus", valueColumnName="n",
+    )
+    # A (flag, status) combo absent from the data pivots to NULL; the
+    # group-by oracle has no such row, so drop it rather than zero-fill.
+    return long.filter(F.col("n").isNotNull())
+
+
+@register(
+    "q_agg_boolean",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 0) AS all_pos,
+       bool_or(o_orderstatus = 'F') AS any_f
+FROM orders GROUP BY o_orderpriority
+""",
+    doc=(
+        "Boolean/conditional-count aggregates: count_if, bool_and (EVERY), "
+        "bool_or (ANY) per order priority. All three fold map-side like any "
+        "hash aggregate — one shuffle of 5 groups regardless of input size."
+    ),
+)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
+    )
+
+
+@register(
+    "q_ts_downsample",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+       arg_min(value, event_id) AS open,
+       arg_max(value, event_id) AS close,
+       min(value) AS lo, max(value) AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
+    doc=(
+        "Time-series downsampling to hourly OHLC bars per event type "
+        "(min_by/max_by keyed on the unique event_id, so open/close are "
+        "deterministic selections, not order-dependent first/last). "
+        "Selection aggregates are exact doubles -- no rounding needed. One "
+        "shuffle on (bucket, type); at 100 TB the group count scales with "
+        "time range x type cardinality, not row count."
+    ),
+)
+def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bucket = F.unix_micros(F.date_trunc("hour", F.col("ts")).cast("timestamp"))
+    return e.groupBy(bucket.alias("bucket_us"), "event_type").agg(
+        F.min_by("value", "event_id").alias("open"),
+        F.max_by("value", "event_id").alias("close"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").alias("n"),
+    )

@@ -1317,3 +1317,94 @@ def q_llm_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nrm, 6).alias("l2_norm"),
         F.round(F.expr("CAST(embedding[0] AS DOUBLE)") / nrm, 6).alias("e1_normed"),
     )
+
+
+# PII patterns written in the common subset of Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, \b word boundaries.
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "[PHONE]"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+]
+
+
+@register(
+    "q_llm_pii_redact",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '[PHONE]', 'g'),
+         '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[SSN]', 'g') AS red_text,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+       + CAST(len(regexp_extract_all(text,
+         '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS BIGINT)
+       + CAST(len(regexp_extract_all(text,
+         '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT) AS n_pii
+FROM documents
+""",
+    doc=(
+        "PII redaction (email / phone / SSN patterns -> typed placeholder "
+        "tokens) with a per-doc redaction count -- the standard scrubbing "
+        "pass before corpus release. Pure per-row regexp_replace: narrow "
+        "transform, no shuffle, trivially parallel at 100 TB. The synthetic "
+        "testdata contains no PII (count is 0 everywhere), so the redaction "
+        "semantics themselves are pinned by tests/test_llm.py on documents "
+        "with planted PII."
+    ),
+)
+def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", *_pii_columns(F.col("text")))
+
+
+def _pii_columns(text):
+    """(red_text, n_pii) columns for any string column -- shared by the
+    registered query and the unit tests so both pin the same semantics."""
+    red = text
+    n = F.lit(0).cast("bigint")
+    for pat, token in _PII_PATTERNS:
+        n = n + F.regexp_count(red, F.lit(pat)).cast("bigint")
+        red = F.regexp_replace(red, pat, token)
+    return [red.alias("red_text"), n.alias("n_pii")]
+
+
+@register(
+    "q_llm_ngram",
+    oracle="""
+WITH w AS (
+  SELECT string_split(lower(text), ' ') AS ws FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM w WHERE len(ws) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bi GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+""",
+    doc=(
+        "N-gram mining: top-20 corpus bigrams (ties broken lexically for "
+        "determinism). The per-doc expansion is a JVM lambda over the "
+        "token array (transform over sequence -- no Python, no shuffle); "
+        "the count is one hash aggregate; the top-k is TakeOrdered. At "
+        "100 TB the expansion multiplies rows ~word-count x, but partial "
+        "aggregation collapses them map-side before the single shuffle."
+    ),
+)
+def q_llm_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.col("text")), " ")
+    bigrams = d.select(ws.alias("ws")).filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

@@ -242,3 +242,44 @@ def test_shard_assign_budget_respected(spark):
         sizes[sh] = sizes.get(sh, 0) + chars[d]
     for sh, size in sizes.items():
         assert size <= 50000 + max(chars.values())
+
+
+def test_pii_redact_planted(spark):
+    """Redaction semantics on planted PII (the synthetic corpus has none,
+    so q_llm_pii_redact is exercised on real patterns here)."""
+    from kse.queries.llm import _pii_columns
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk thanks"),
+        (2, "call 555-123-4567 or 555.987.6543 today"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "clean text with no pii at all"),
+        (5, "a@b.io and 111-222-3333 and 999-88-7777"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["red_text"], r["n_pii"])
+        for r in df.select("doc_id", *_pii_columns(F.col("text"))).collect()
+    }
+    assert got[1] == ("mail me at [EMAIL] thanks", 1)
+    assert got[2] == ("call [PHONE] or [PHONE] today", 2)
+    assert got[3] == ("ssn [SSN] on file", 1)
+    assert got[4] == ("clean text with no pii at all", 0)
+    assert got[5] == ("[EMAIL] and [PHONE] and [SSN]", 3)
+
+
+def test_ngram_counts_consistent(spark):
+    """Top bigram counts: each doc with W words yields W-1 bigrams, and the
+    top-20 is sorted (n desc, bigram asc) with every count positive."""
+    from kse.queries.llm import q_llm_ngram
+
+    rows = q_llm_ngram(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    keys = [(-r["n"], r["bigram"]) for r in rows]
+    assert keys == sorted(keys)
+    total_bigrams = (
+        load(spark, SF_SMOKE, "documents")
+        .select((F.size(F.split(F.lower("text"), " ")) - 1).alias("k"))
+        .agg(F.sum(F.greatest(F.col("k"), F.lit(0)))).collect()[0][0]
+    )
+    assert all(0 < r["n"] <= total_bigrams for r in rows)

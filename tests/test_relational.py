@@ -99,3 +99,35 @@ def test_approx_percentile_close_to_exact(spark):
         for fld in ("p50", "p90", "q1_qty"):
             e, a = getattr(exact[k], fld), getattr(approx[k], fld)
             assert abs(a - e) <= 0.01 * abs(e) + 1e-9, (k, fld, e, a)
+
+
+def test_downsample_ohlc_bounds(spark):
+    """OHLC invariant: lo <= open, close <= hi in every bucket, and bucket
+    counts sum to the table row count."""
+    from kse.queries.extras import q_ts_downsample
+
+    rows = q_ts_downsample(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["lo"] <= r["open"] <= r["hi"]
+        assert r["lo"] <= r["close"] <= r["hi"]
+    n_events = load(spark, SF_SMOKE, "events").count()
+    assert sum(r["n"] for r in rows) == n_events
+
+
+def test_unpivot_roundtrip(spark):
+    """Unpivot of the pivoted counts equals the direct long-form group-by."""
+    from kse.queries.extras import q_agg_unpivot
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n"]
+        for r in q_agg_unpivot(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n"]
+        for r in load(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
