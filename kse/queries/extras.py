@@ -435,3 +435,32 @@ def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("hi"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+) WHERE rn = 1
+""",
+    doc=(
+        "Statistical mode per group, built deterministically (count + "
+        "row_number with a lexical tie-break) instead of F.mode, whose tie "
+        "choice is engine-dependent. Two shuffles but the second operates "
+        "on |statuses x priorities| rows -- constant-size at any scale."
+    ),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
