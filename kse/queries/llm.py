@@ -1408,3 +1408,52 @@ def q_llm_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "q_llm_contamination",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(ws) - 4),
+                i -> array_to_string(ws[i:i+4], ' '))) AS gram
+  FROM w WHERE len(ws) >= 5
+),
+b AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+c AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM c JOIN b USING (gram) GROUP BY doc_id
+""",
+    doc=(
+        "Benchmark decontamination: corpus docs sharing >= 1 word-level "
+        "5-gram with a held-out set (source 'src0' stands in for the "
+        "benchmark), with the count of distinct shared shingles per doc. "
+        "The held-out gram set is DISTINCTed and broadcast -- benchmark "
+        "suites are KBs-to-MBs while the corpus is the 100 TB side, so the "
+        "contamination check is a map-side semi-join over the corpus "
+        "shingle stream; only the tiny per-doc counts shuffle."
+    ),
+)
+def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("ws"))
+        .filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr("transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))")
+            ).alias("gram"),
+        )
+    )
+    bench = grams.filter(F.col("source") == "src0").select("gram").distinct()
+    corpus = grams.filter(F.col("source") != "src0").select("doc_id", "gram").distinct()
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
