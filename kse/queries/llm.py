@@ -723,6 +723,48 @@ def q_llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_token_bpe",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+         AS sum_bpe_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_word_tokens,
+       round(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 1.0
+             / sum(len(string_split(text, ' '))), 4) AS bpe_per_word
+FROM documents
+GROUP BY lang
+""",
+    doc=(
+        "Token counting with a BPE-style pre-tokenizer regex (letter runs, "
+        "digit runs, single punctuation/CJK chars) vs plain whitespace "
+        "words, aggregated per language. The pattern uses only constructs "
+        "Java regex and RE2 interpret identically, so the DuckDB oracle "
+        "hash-matches. At 100 TB this is a map-only scan of the text "
+        "column (count computed inside the row, no explode) followed by a "
+        "5-group shuffle — the cheapest possible corpus-wide token budget "
+        "estimate before committing to a real BPE vocabulary."
+    ),
+)
+def q_llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    ).cast("long")
+    words = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        d.select("lang", bpe.alias("b"), words.alias("w"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("b").cast("bigint").alias("sum_bpe_tokens"),
+            F.sum("w").cast("bigint").alias("sum_word_tokens"),
+            r4(F.sum("b") / F.sum("w"), "bpe_per_word"),
+        )
+    )
+
+
+@register(
     "q_llm_inverted_index",
     oracle="""
 SELECT token,
