@@ -723,6 +723,54 @@ def q_llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_repetition",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(string_split(lower(text), ' ')) - 1),
+                        i -> string_split(lower(text), ' ')[i] || ' ' ||
+                             string_split(lower(text), ' ')[i + 1]) AS bg
+  FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 2
+)
+SELECT doc_id,
+       CAST(len(bg) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+       round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 4) AS dup_ratio
+FROM b
+""",
+    doc=(
+        "Within-document repetition ratio (Gopher-style quality signal): "
+        "fraction of word bigrams that are duplicates of an earlier bigram "
+        "in the same doc. Computed entirely in-row with array lambdas "
+        "(transform over sequence + array_distinct) — a map-only scan with "
+        "NO explode and NO shuffle, so at 100 TB it costs one pass over "
+        "the text column regardless of document count."
+    ),
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bg = F.expr(
+        "transform(sequence(1, size(split(lower(text), ' ')) - 1), "
+        "i -> concat_ws(' ', element_at(split(lower(text), ' '), i), "
+        "element_at(split(lower(text), ' '), i + 1)))"
+    )
+    return (
+        d.filter(F.size(F.split(F.lower("text"), " ")) >= 2)
+        .select("doc_id", bg.alias("bg"))
+        .select(
+            "doc_id",
+            F.size("bg").cast("bigint").alias("n_bigrams"),
+            F.size(F.array_distinct("bg")).cast("bigint").alias("n_distinct"),
+            r4(
+                F.lit(1.0) - F.size(F.array_distinct("bg")) / F.size("bg"),
+                "dup_ratio",
+            ),
+        )
+    )
+
+
+@register(
     "q_llm_token_bpe",
     oracle="""
 SELECT lang,
