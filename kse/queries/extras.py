@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kse.queries._util import dsum, t
+from kse.queries._util import dsum, r4, t
 from kse.registry import register
 
 
@@ -434,6 +434,59 @@ def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
         F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_ts_zscore",
+    oracle="""
+SELECT event_id, user_id, round((value - mu) / sd, 4) AS zscore
+FROM (
+  SELECT event_id, user_id, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd,
+         count(value) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+WHERE n = 20 AND sd > 0
+""",
+    doc=(
+        "Rolling z-score anomaly scoring: each event's value scored "
+        "against the mean/stddev of that user's previous 20 events "
+        "(trailing frame excludes the current row, so the score is a true "
+        "out-of-sample residual). Frame is ordered by (ts, event_id) -- "
+        "event_id is unique, so the window order and hence the float "
+        "accumulation order is deterministic in both engines. The n = 20 "
+        "warm-up filter is an integer predicate, keeping row membership "
+        "exact across engines. One shuffle on user_id; at 100 TB state per "
+        "key is a bounded 20-row frame, which is also exactly the shape "
+        "the streaming path expresses with applyInPandasWithState."
+    ),
+)
+def q_ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("value").over(w).alias("n"),
+    )
+    return (
+        scored.filter((F.col("n") == 20) & (F.col("sd") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            r4((F.col("value") - F.col("mu")) / F.col("sd"), "zscore"),
+        )
     )
 
 
