@@ -236,11 +236,13 @@ def _normalize_session(spark: SparkSession) -> None:
     """Set the runtime confs every query path depends on, once per session.
 
     The driver calls ``queries()[name](spark, sf_dir)`` with ITS OWN
-    SparkSession, which need not carry kse.session's configs. Without
-    ``nanosAsLong`` a bare session cannot even read events.parquet
-    (TIMESTAMP(NANOS) → PARQUET_TYPE_ILLEGAL — verified), and non-UTC /
-    non-NTZ timestamp semantics silently diverge from the DuckDB oracle.
-    All three are runtime-settable (verified on Spark 4.1.2)."""
+    SparkSession, which need not carry kse.session's configs. UTC + NTZ
+    inference keep timestamp semantics aligned with the DuckDB oracle;
+    ``nanosAsLong`` is a forward-compat guard so a TIMESTAMP(NANOS)-vintage
+    events file loads as BIGINT (which :func:`load` then converts) instead
+    of failing with PARQUET_TYPE_ILLEGAL — it is a no-op for the current
+    timestamp[us] testdata. All three are runtime-settable (verified on
+    Spark 4.1.2)."""
     if getattr(spark, "_kse_normalized", False):
         return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -272,12 +274,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
         if name == "events":
-            # ts is stored as TIMESTAMP(NANOS); with nanosAsLong it arrives
-            # as raw nanoseconds. Truncate to microseconds (exactly what
-            # DuckDB yields for epoch_us on a ns timestamp) under UTC.
-            from pyspark.sql import functions as F
+            # The testdata vintage determines how `ts` arrives:
+            #   - timestamp[us] parquet (current testdata, pyarrow-verified)
+            #     → TIMESTAMP/TIMESTAMP_NTZ: pass through untouched.
+            #   - TIMESTAMP(NANOS) parquet read under nanosAsLong → raw
+            #     BIGINT nanoseconds: truncate to microseconds (what DuckDB
+            #     yields for epoch_us on a ns timestamp) under UTC.
+            # Branch on the loaded dtype so either vintage works.
+            ts_type = df.schema["ts"].dataType
+            if isinstance(ts_type, T.LongType):
+                from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
     _RELATION_CACHE[key] = df
     return df
 

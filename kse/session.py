@@ -59,9 +59,10 @@ def get_session(
         # Parquet NTZ timestamps (the testdata is tz-naive) read as NTZ so
         # they mean the same wall-clock instant in Spark and in DuckDB.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-        # events.ts is TIMESTAMP(NANOS) which Spark's reader rejects; read
-        # it as raw nanos (bigint) and convert in kse.catalog.load — same
-        # micro-truncation DuckDB applies.
+        # Forward-compat guard: a TIMESTAMP(NANOS)-vintage events file (which
+        # Spark's reader otherwise rejects) loads as raw nanos (bigint) and
+        # kse.catalog.load converts it. No-op for the current timestamp[us]
+        # testdata, whose ts column passes through untouched.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
