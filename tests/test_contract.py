@@ -86,9 +86,8 @@ def test_knn_uses_take_ordered(spark):
 
 def test_bare_session_is_normalized(spark):
     """The driver calls queries() with its own SparkSession, which need not
-    carry kse.session's configs — catalog.load must self-normalize. A
-    session missing nanosAsLong cannot even read events.parquet
-    (TIMESTAMP(NANOS) -> PARQUET_TYPE_ILLEGAL)."""
+    carry kse.session's configs — catalog.load must self-normalize (UTC
+    timezone, NTZ inference, and the nanos-vintage read guard)."""
     bare = spark.newSession()
     for k in (
         "spark.sql.legacy.parquet.nanosAsLong",
@@ -101,6 +100,55 @@ def test_bare_session_is_normalized(spark):
     rows = load(bare, SF_SMOKE, "events").limit(5).collect()
     assert len(rows) == 5
     assert bare.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_events_loader_handles_both_ts_vintages(spark, tmp_path):
+    """Regression pin for the round-1-killing bug: the events loader must
+    accept BOTH testdata vintages — the current timestamp[us] files (ts
+    arrives as a native timestamp; pass through) and a nanos-as-long file
+    (TIMESTAMP(NANOS) parquet, which under nanosAsLong arrives as BIGINT;
+    convert). Loads each, checks dtype and one known wall-clock value."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from kse import catalog
+    from kse.catalog import load
+
+    # vintage 1: the real driver testdata (timestamp[us], pyarrow-verified)
+    real = load(spark, SF_SMOKE, "events")
+    assert isinstance(
+        real.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
+    ), real.schema["ts"].dataType
+    assert real.limit(1).collect()[0].ts is not None
+
+    # vintage 2: synthesized TIMESTAMP(NANOS) file with one known instant
+    want = datetime.datetime(2024, 3, 1, 12, 34, 56, 789000)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([want], pa.timestamp("ns")),
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.5], pa.float64()),
+            "props": pa.array(['{"k": 3}'], pa.string()),
+        }
+    )
+    nanos_dir = tmp_path / "nanos_sf"
+    nanos_dir.mkdir()
+    pq.write_table(
+        tbl, nanos_dir / "events.parquet", coerce_timestamps=None
+    )
+    df = load(spark, str(nanos_dir), "events")
+    assert isinstance(
+        df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
+    ), df.schema["ts"].dataType
+    got = df.collect()[0]
+    assert got.ts == want, (got.ts, want)
+    # don't leak the tmp dir's relation into other tests
+    catalog._RELATION_CACHE.pop((id(spark), str(nanos_dir), "events"), None)
 
 
 def test_readme_coverage_table_matches_registry():
