@@ -945,29 +945,56 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
 FROM documents a JOIN documents b
-  ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+  ON b.n_chars BETWEEN a.n_chars - 10 AND a.n_chars + 10
+ AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= 10
 """,
     doc=(
-        "Edit-distance near-dup verification with BLOCKING: candidate "
-        "pairs come from a cheap equi-join on a blocking key (exact "
-        "length here; shingle/MinHash bands in the scaled variants), and "
-        "only candidates pay the O(len^2) levenshtein. The all-pairs "
-        "form is O(n^2) and never runs: at 100 TB the blocking join is "
-        "the entire design — candidates per block are bounded, so the "
-        "quadratic stays inside a partition. Exact duplicates surface at "
-        "dist=0; near-misses under the threshold rank above it."
+        "Edit-distance near-dup verification with BANDED-LENGTH BLOCKING: "
+        "dist(a,b) <= k implies |len(a)-len(b)| <= k, so docs are bucketed "
+        "into length bands wider than the threshold (band = floor(n_chars/"
+        "16), 16 > k=10) and one side additionally emits its two neighbor "
+        "bands — every qualifying pair therefore meets in exactly one "
+        "equi-join bucket, including near-dups of UNEQUAL length that an "
+        "exact-length key would miss. Only candidates (band hit + length "
+        "filter) pay the quadratic levenshtein, with the threshold pushed "
+        "into the function for early exit. The all-pairs form never runs: "
+        "at 100 TB the blocking equi-join is the entire design — "
+        "candidates per band are bounded, so the quadratic stays inside a "
+        "partition."
     ),
 )
 def q_llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"), "n_chars")
-    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"), "n_chars")
+    thresh = 10
+    band_w = 16  # strictly greater than thresh: qualifying pairs are in the same or adjacent band
+    band = F.floor(F.col("n_chars") / band_w)
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("n_chars").alias("len_a"),
+        band.alias("band"),
+    )
+    # b emits band-1/band/band+1: a pair meets in exactly one bucket (the
+    # three keys are distinct), so no post-join dedup is needed
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("n_chars").alias("len_b"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    )
     return (
-        a.join(b, ["n_chars"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("dist", F.levenshtein("text_a", "text_b").cast("bigint"))
-        .filter(F.col("dist") <= 10)
+        a.join(b, "band")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= thresh)
+        )
+        # thresholded levenshtein: early-exits and returns -1 past thresh
+        .withColumn(
+            "dist",
+            F.levenshtein("text_a", "text_b", thresh).cast("bigint"),
+        )
+        .filter(F.col("dist") >= 0)
         .select("doc_a", "doc_b", "dist")
     )
 
@@ -985,22 +1012,51 @@ FROM documents
         "Deterministic shard assignment for training-data export: running "
         "n_chars total in stable doc_id order, shard = floor((cumsum-1)/"
         "budget) — every engine and every rerun produces the same packing. "
-        "The global ORDER BY window is the scale caveat: at 100 TB assign "
-        "a coarse range first (hash/date partition), then run this per "
-        "partition with a per-partition base offset — same result, no "
-        "single-reducer window. Greedy size-aware bin packing is "
-        "deliberately NOT used: it is order-dependent and unstable under "
-        "repartitioning."
+        "Implemented as a two-pass distributed prefix sum, NOT a global "
+        "ORDER BY window: pass 1 buckets doc_id into coarse ranges and "
+        "aggregates per-bucket totals (tiny: one row per bucket); the "
+        "exclusive prefix sum over THAT metadata-sized table is the only "
+        "single-partition step. Pass 2 broadcast-joins the base offsets "
+        "back and runs the cumsum per bucket (parallel partitioned "
+        "window). Identical output to the global window; the full corpus "
+        "is never range-sorted onto one reducer. Greedy size-aware bin "
+        "packing is deliberately NOT used: it is order-dependent and "
+        "unstable under repartitioning."
     ),
 )
 def q_llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return d.select(
-        "doc_id",
-        F.floor((F.sum("n_chars").over(w) - 1) / 50000.0).cast("bigint").alias("shard"),
+    budget = 50000.0
+    # Coarse deterministic range bucket on the (unique) doc_id. Width is a
+    # constant: bucket count scales with corpus size, per-bucket work stays
+    # bounded. doc_ids are dense, so buckets are contiguous id ranges and
+    # bucket order == doc_id order across buckets.
+    width = 1024
+    b = d.withColumn("bkt", F.floor(F.col("doc_id") / width))
+    totals = b.groupBy("bkt").agg(F.sum("n_chars").alias("bkt_total"))
+    # exclusive prefix sum over one-row-per-bucket metadata (the only
+    # unpartitioned window in the plan — input is |buckets| rows, not docs)
+    w_base = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bkt",
+        F.coalesce(F.sum("bkt_total").over(w_base), F.lit(0)).alias("base"),
+    )
+    # per-bucket running sum: partitioned window, fully parallel
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            F.floor((F.col("base") + F.sum("n_chars").over(w_in) - 1) / budget)
+            .cast("bigint")
+            .alias("shard"),
+        )
     )
 
 

@@ -244,6 +244,83 @@ def test_shard_assign_budget_respected(spark):
         assert size <= 50000 + max(chars.values())
 
 
+def test_shard_assign_matches_global_window_and_avoids_global_sort(spark):
+    """The two-pass prefix-sum must be value-identical to the naive global
+    ORDER BY window AND keep the full corpus off a single reducer: the doc
+    window is partitioned by bucket (hash exchange), never a global sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kse.catalog import load
+    from kse.queries.llm import q_llm_shard_assign
+
+    got = {r.doc_id: r.shard for r in q_llm_shard_assign(spark, SF_T2).collect()}
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r.doc_id: r.shard
+        for r in load(spark, SF_T2, "documents")
+        .select(
+            "doc_id",
+            F.floor((F.sum("n_chars").over(w) - 1) / 50000.0).cast("bigint").alias("shard"),
+        )
+        .collect()
+    }
+    assert got == want
+    plan = q_llm_shard_assign(spark, SF_T2)._jdf.queryExecution().executedPlan().toString()
+    # per-bucket window => hash exchange on the bucket key for the doc rows
+    assert "hashpartitioning(bkt" in plan
+    # no range repartition anywhere = no global sort of the corpus
+    assert "rangepartitioning" not in plan
+
+
+def test_editdist_finds_planted_unequal_length_neardups(spark, tmp_path):
+    """Banded-length blocking must reach near-dups of UNEQUAL length
+    (exact-length blocking missed these), including a pair whose lengths
+    straddle a band boundary, while candidates still come from an
+    equi-join — never a nested-loop over all pairs."""
+    from kse.queries.llm import q_llm_dedup_editdist
+
+    base = "the quick brown fox jumps over the lazy dog today"  # 50 chars
+    long_a = base * 2  # 100 chars, band 6
+    long_b = (base * 2) + " abcd"  # 105 chars, band 6
+    edge_a = base + " twelve chars" # 63 chars, band 3
+    edge_b = base + " twelve charsXYZ"  # 66 chars, band 4 (crosses boundary)
+    far = "completely different content about spark shuffles and parquet files here"
+    rows = [
+        (1, long_a),
+        (2, long_b),
+        (3, edge_a),
+        (4, edge_b),
+        (5, far),
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["src0"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    sf_dir = tmp_path / "planted_sf"
+    sf_dir.mkdir()
+    pdf.to_parquet(sf_dir / "documents.parquet", index=False)
+
+    res = q_llm_dedup_editdist(spark, str(sf_dir))
+    pairs = {(r.doc_a, r.doc_b): r.dist for r in res.collect()}
+    assert pairs.get((1, 2)) == 5  # unequal length, same band
+    assert pairs.get((3, 4)) == 3  # unequal length, adjacent bands
+    assert (1, 5) not in pairs and (2, 5) not in pairs
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    from kse import catalog
+
+    catalog._RELATION_CACHE.pop((id(spark), str(sf_dir), "documents"), None)
+
+
 def test_pii_redact_planted(spark):
     """Redaction semantics on planted PII (the synthetic corpus has none,
     so q_llm_pii_redact is exercised on real patterns here)."""
