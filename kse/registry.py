@@ -27,6 +27,13 @@ class Query:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL; None -> driver runs rows-only check
     doc: str = ""
+    # Local-harness-only oracle for approximate operators: the driver's
+    # hash-match would rightly fail on a sketch, so `oracle` stays None
+    # (rows-only for the driver), but tools/check.py runs `check_oracle`
+    # in DuckDB and asserts every float column is within `check_rel_tol`
+    # relative error — an explicit accuracy contract instead of rows>0.
+    check_oracle: str | None = None
+    check_rel_tol: float | None = None
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -63,7 +70,13 @@ def invalidate_plans(sf_dir: str | None = None, spark: SparkSession | None = Non
         del cache[key]
 
 
-def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    check_oracle: str | None = None,
+    check_rel_tol: float | None = None,
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register ``fn`` as query ``name`` with its oracle SQL."""
 
     def _wrap(fn: QueryFn) -> QueryFn:
@@ -82,7 +95,12 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
         cached_fn.__name__ = fn.__name__
         cached_fn.__doc__ = fn.__doc__
         _REGISTRY[name] = Query(
-            name=name, fn=cached_fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+            name=name,
+            fn=cached_fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            check_oracle=check_oracle,
+            check_rel_tol=check_rel_tol,
         )
         return fn
 

@@ -88,6 +88,37 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return errs
 
 
+def compare_tol(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rel_tol: float) -> list[str]:
+    """Row-count + columns exact; float values within ``rel_tol`` relative
+    error (the accuracy contract of sketch-backed operators)."""
+    errs: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        errs.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        errs.append(f"columns: spark={s_cols} duck={d_cols}")
+    if errs:
+        return errs
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if np.issubdtype(sv.dtype, np.number) and np.issubdtype(dv.dtype, np.number):
+            sa, da = sv.astype(float).to_numpy(), dv.astype(float).to_numpy()
+            both_nan = np.isnan(sa) & np.isnan(da)
+            close = np.isclose(sa, da, rtol=rel_tol, atol=1e-9) | both_nan
+            if not close.all():
+                i = int(np.argmin(close))
+                errs.append(
+                    f"col {c}: beyond {rel_tol:.0%} at sorted row {i}: {sa[i]!r} vs {da[i]!r}"
+                )
+        else:
+            if not sv.astype(str).equals(dv.astype(str)):
+                neq = sv.astype(str) != dv.astype(str)
+                i = int(np.argmax(neq.to_numpy()))
+                errs.append(f"col {c}: value mismatch at sorted row {i}: {sv.iloc[i]!r} vs {dv.iloc[i]!r}")
+    return errs
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -109,6 +140,30 @@ def main() -> int:
             print(f"FAIL  {name}: SPARK ERROR\n{traceback.format_exc()}")
             continue
         if q.oracle is None:
+            if q.check_oracle is not None:
+                # approximate operator with an explicit accuracy contract:
+                # compare against the exact DuckDB answer within rel_tol
+                try:
+                    duck_pdf = con.execute(q.check_oracle).df()
+                except Exception:
+                    n_fail += 1
+                    failures.append(name)
+                    print(f"FAIL  {name}: DUCKDB ERROR (check_oracle)\n{traceback.format_exc()}")
+                    continue
+                errs = compare_tol(spark_pdf, duck_pdf, q.check_rel_tol or 0.01)
+                if errs:
+                    n_fail += 1
+                    failures.append(name)
+                    print(f"FAIL  {name} (tolerance) ({time.time()-t0:.2f}s)")
+                    for e in errs[:8]:
+                        print(f"      - {e}")
+                else:
+                    n_pass += 1
+                    print(
+                        f"PASS  {name}: {len(spark_pdf)} rows within "
+                        f"{q.check_rel_tol or 0.01:.0%} of exact ({time.time()-t0:.2f}s)"
+                    )
+                continue
             n_rows_only += 1
             print(f"rows  {name}: {len(spark_pdf)} rows ({time.time()-t0:.2f}s)")
             continue
