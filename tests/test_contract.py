@@ -102,6 +102,41 @@ def test_bare_session_is_normalized(spark):
     assert bare.conf.get("spark.sql.session.timeZone") == "UTC"
 
 
+def test_plan_audit_properties_hold(spark):
+    """Every optimizer property tools/plan_audit.py requires (pushdown,
+    broadcast choice, WindowGroupLimit, TakeOrdered, codegen) must hold —
+    in pytest, so a lost broadcast or lost pushdown fails the suite, not
+    just PLANS.md regeneration."""
+    import importlib.util
+    import os
+    import re
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "plan_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # static plans (AQE off) show codegen/join markers pre-execution;
+    # rebuild plans under that conf and restore after
+    registry.invalidate_plans(spark=spark)
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        qs = registry.all_queries()
+        missing = []
+        for name, props in mod.REQUIRED.items():
+            plan = qs[name].fn(spark, SF_T2)._jdf.queryExecution().executedPlan().toString()
+            for label, pattern in props:
+                if re.search(pattern, plan) is None:
+                    missing.append(f"{name}: {label}")
+        assert not missing, missing
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+        registry.invalidate_plans(spark=spark)
+
+
 def test_events_loader_handles_both_ts_vintages(spark, tmp_path):
     """Regression pin for the round-1-killing bug: the events loader must
     accept BOTH testdata vintages — the current timestamp[us] files (ts
