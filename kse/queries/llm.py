@@ -189,6 +189,87 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected pair list ``(doc_a, doc_b)``; returns ``(node, label)`` with
+    label = smallest member id of the node's component. Each round is one
+    equi-join + groupBy-min, lineage truncated per round; early-stops the
+    round nothing changes (rounds needed = graph diameter)."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)  # pair generation runs once
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(20):  # bound >> diameter of any near-dup component
+        prop = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "q_llm_dedup_cluster",
+    oracle=_MINHASH_ORACLE.replace("WITH tk", "WITH RECURSIVE tk", 1)
+    + """,
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cid FROM reach GROUP BY a
+)
+SELECT d.doc_id, CAST(coalesce(comp.cid, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp USING (doc_id)
+""",
+    doc=(
+        "Duplicate-cluster assignment: connected components over the "
+        "MinHash-LSH candidate-pair graph, each doc labeled with the "
+        "smallest doc_id in its component (the canonical survivor a dedup "
+        "pipeline keeps; singletons label themselves). Spark side is the "
+        "iterative min-label-propagation idiom (min_label_components "
+        "above): per round, every node takes the min of its own and its "
+        "neighbors' labels (one equi-join + groupBy-min), with "
+        "localCheckpoint truncating the lineage and an early stop when a "
+        "round changes nothing. Rounds needed = graph diameter; near-dup "
+        "components are tiny (pairs/triangles), so 2-3 rounds in "
+        "practice, and only docs that appear in some candidate pair enter "
+        "the loop at all — the corpus-sized table is touched once at the "
+        "end. At 100 TB swap the propagation for large-star/small-star "
+        "(O(log n) rounds, same join shape). Oracle: DuckDB recursive CTE "
+        "computing the same transitive closure — an iterative Spark "
+        "algorithm checked value-for-value against recursive SQL."
+    ),
+)
+def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    labels = min_label_components(minhash_candidate_pairs(d))
+    return (
+        d.select("doc_id")
+        .join(labels, d.doc_id == labels.node, "left")
+        .select("doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id"))
+    )
+
+
 @register(
     "q_llm_dedup_simhash",
     oracle="""

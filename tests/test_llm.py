@@ -321,6 +321,42 @@ def test_editdist_finds_planted_unequal_length_neardups(spark, tmp_path):
     catalog._RELATION_CACHE.pop((id(spark), str(sf_dir), "documents"), None)
 
 
+def test_min_label_components_multi_hop_chain(spark):
+    """Transitivity: a chain 1-2, 2-3, plus a separate pair 7-8 and an
+    out-of-order edge (9,4) must collapse to min-id components even though
+    no direct edge joins the chain ends."""
+    from kse.queries.llm import min_label_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (4, 9), (9, 5)], ["doc_a", "doc_b"]
+    )
+    labels = {r.node: r.label for r in min_label_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 4: 4, 9: 4, 5: 4}
+
+
+def test_dedup_cluster_groups_planted_duplicates(spark):
+    """The planted exact-duplicate texts (present at sf0.1 only —
+    measured) must share a cluster id (the smallest doc_id of the group),
+    and cluster assignment must be a coarsening of text equality:
+    identical texts never split clusters."""
+    from kse.catalog import load
+    from kse.queries.llm import q_llm_dedup_cluster
+
+    sf_bench = "/root/testdata/sf0.1"
+    docs = {r.doc_id: r.text for r in load(spark, sf_bench, "documents").collect()}
+    clusters = {r.doc_id: r.cluster_id for r in q_llm_dedup_cluster(spark, sf_bench).collect()}
+    assert set(clusters) == set(docs)
+    by_text: dict[str, list[int]] = {}
+    for doc_id, text in docs.items():
+        by_text.setdefault(text, []).append(doc_id)
+    planted = [ids for ids in by_text.values() if len(ids) > 1]
+    assert planted, "testdata should contain planted exact duplicates"
+    for ids in planted:
+        got = {clusters[i] for i in ids}
+        assert len(got) == 1, (ids, got)
+        assert min(got) <= min(ids)
+
+
 def test_pii_redact_planted(spark):
     """Redaction semantics on planted PII (the synthetic corpus has none,
     so q_llm_pii_redact is exercised on real patterns here)."""
