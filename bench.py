@@ -46,16 +46,21 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     # Configs sized to the bench data volume (~15 MB at sf0.1, single-row-
-    # group parquet => scans are one task regardless): 4 shuffle partitions,
+    # group parquet => scans are one task regardless): 2 shuffle partitions,
     # AQE off. Measured: AQE's per-shuffle stage materialization costs more
-    # than it saves below ~100 MB (1.99s vs 2.26s total). The production
+    # than it saves below ~100 MB (1.99s vs 2.26s total), and each shuffle
+    # task carries ~5-10 ms scheduling overhead that dominates at this size
+    # (4 -> 2 partitions: 8-query total 1.09 s -> 0.99 s). The production
     # session defaults (kse/session.py) keep AQE on — at cluster scale its
     # runtime coalescing/skew-splitting dominate; this override is the
     # "size your configs to your data" knob, not a change of posture.
     spark = get_session(
         "kse-bench",
-        shuffle_partitions=4,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        shuffle_partitions=2,
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     # One-time ingest into the engine's own multi-file layout (the local
