@@ -1265,6 +1265,58 @@ def q_llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_curate",
+    oracle="""
+WITH gated AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+  WHERE lang IN ('en', 'de', 'es', 'fr')
+    AND n_chars BETWEEN 50 AND 550
+    AND len(string_split(text, ' ')) >= 8
+),
+kept AS (
+  SELECT * FROM gated
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+       round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+FROM kept GROUP BY lang, source
+""",
+    doc=(
+        "End-to-end corpus curation — the composite a training-data "
+        "pipeline actually ships: language keep-list + length/token "
+        "quality gates (pure pushdown-friendly filters, map-only) → exact "
+        "dedup keeping the lowest doc_id per text (WindowGroupLimit: "
+        "per-partition top-1 before the shuffle) → per-(lang, source) "
+        "yield report with document counts and token budget. One shuffle "
+        "for the dedup, one (partial-aggregated) for the report; every "
+        "stage upstream of the dedup is embarrassingly parallel, so the "
+        "composition inherits each stage's 100 TB posture. The yield "
+        "report is what a data engineer reads to decide mixing weights."
+    ),
+)
+def q_llm_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    gated = d.filter(
+        F.col("lang").isin("en", "de", "es", "fr")
+        & F.col("n_chars").between(50, 550)
+    ).withColumn("n_tokens", F.size(F.split("text", " ")))
+    gated = gated.filter(F.col("n_tokens") >= 8)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    kept = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
+
+
+@register(
     "q_llm_tfidf",
     oracle="""
 WITH tf AS (
