@@ -126,11 +126,15 @@ def test_plan_audit_properties_hold(spark):
     try:
         qs = registry.all_queries()
         missing = []
-        for name, props in mod.REQUIRED.items():
+        audited = list(mod.REQUIRED) + [n for n in mod.FORBIDDEN if n not in mod.REQUIRED]
+        for name in audited:
             plan = qs[name].fn(spark, SF_T2)._jdf.queryExecution().executedPlan().toString()
-            for label, pattern in props:
+            for label, pattern in mod.REQUIRED.get(name, []):
                 if re.search(pattern, plan) is None:
                     missing.append(f"{name}: {label}")
+            for label, pattern in mod.FORBIDDEN.get(name, []):
+                if re.search(pattern, plan) is not None:
+                    missing.append(f"{name}: FORBIDDEN {label}")
         assert not missing, missing
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)

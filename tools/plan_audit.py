@@ -71,6 +71,36 @@ REQUIRED = {
     "q_llm_dedup_exact": [
         ("first-doc-per-text via WindowGroupLimit", r"WindowGroupLimit"),
     ],
+    "q_join_theta_banded": [
+        ("band predicate compiles to an equi-join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
+    "q_llm_shard_assign": [
+        ("doc cumsum window is per-bucket (hash exchange)", r"hashpartitioning\(bkt"),
+    ],
+    "q_llm_curate": [
+        ("dedup via WindowGroupLimit", r"WindowGroupLimit"),
+        ("yield report partially aggregated map-side", r"partial_(count|sum|avg)"),
+    ],
+}
+
+# query -> [(property label, regex that must NOT match the executed plan)]
+# — the anti-scale markers: a global sort of the full input, or a
+# nested-loop/cartesian pair generation, silently reintroduced by a
+# refactor would pass every value check and still be wrong at 100 TB.
+FORBIDDEN = {
+    "q_llm_shard_assign": [
+        ("no global range-sort of the corpus", r"rangepartitioning"),
+        ("no single-partition exchange of doc rows before aggregation", r"Exchange SinglePartition[^\n]*\n[^\n]*FileScan"),
+    ],
+    "q_join_theta_banded": [
+        ("no nested-loop join", r"NestedLoop|CartesianProduct"),
+    ],
+    "q_llm_dedup_editdist": [
+        ("candidates from equi-join, not all-pairs", r"NestedLoop|CartesianProduct"),
+    ],
+    "q_llm_dedup_minhash": [
+        ("LSH bucket equi-join, not all-pairs", r"NestedLoop|CartesianProduct"),
+    ],
 }
 
 
@@ -88,14 +118,20 @@ def main() -> None:
 
     failures: list[str] = []
     sections: list[str] = []
-    for name, props in REQUIRED.items():
+    audited = list(REQUIRED) + [n for n in FORBIDDEN if n not in REQUIRED]
+    for name in audited:
         df = qs[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         rows = []
-        for label, pattern in props:
+        for label, pattern in REQUIRED.get(name, []):
             ok = re.search(pattern, plan) is not None
             if not ok:
                 failures.append(f"{name}: {label} (pattern {pattern!r})")
+            rows.append(f"| {label} | {'PASS' if ok else '**FAIL**'} |")
+        for label, pattern in FORBIDDEN.get(name, []):
+            ok = re.search(pattern, plan) is None
+            if not ok:
+                failures.append(f"{name}: {label} (forbidden pattern {pattern!r} matched)")
             rows.append(f"| {label} | {'PASS' if ok else '**FAIL**'} |")
         sections.append(
             f"## {name}\n\n| property | status |\n| --- | --- |\n"
@@ -120,7 +156,8 @@ def main() -> None:
         for x in failures:
             print(" -", x)
         sys.exit(1)
-    print(f"all {sum(len(v) for v in REQUIRED.values())} properties present across {len(REQUIRED)} queries")
+    n_props = sum(len(v) for v in REQUIRED.values()) + sum(len(v) for v in FORBIDDEN.values())
+    print(f"all {n_props} properties hold across {len(audited)} queries")
 
 
 if __name__ == "__main__":
