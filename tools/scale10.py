@@ -36,6 +36,19 @@ HEADLINE = [
     "q_llm_sim_knn",
 ]
 
+# Scale-safe rewrites measured separately: their value is the plan shape
+# (distributed prefix sum, banded equi-join, window-dedup composite), so
+# the 10x run is the evidence the rewrite actually scales. MinHash/edit-
+# distance dedup are deliberately absent: the 16-word synthetic vocabulary
+# makes near-dup candidate counts wildly unrealistic (every doc shingles
+# into the same few thousand shingles), which would measure the generator,
+# not the operator.
+SCALE_OPS = [
+    "q_llm_shard_assign",
+    "q_join_theta_banded",
+    "q_llm_curate",
+]
+
 WORDS = [
     "the", "of", "data", "stream", "event", "model", "spark", "query",
     "join", "window", "state", "index", "shard", "batch", "token", "vector",
@@ -196,11 +209,12 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
 
     qs = registry.all_queries()
+    timed = HEADLINE + SCALE_OPS
     for _ in range(2):
-        for name in HEADLINE:
+        for name in timed:
             mat(qs[name].fn(spark, dest))
     spark_t: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in timed:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -218,10 +232,10 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{dest}/{t}.parquet/*.parquet')"
             )
         for _ in range(1):
-            for name in HEADLINE:
+            for name in timed:
                 if qs[name].oracle:
                     con.execute(qs[name].oracle).fetchall()
-        for name in HEADLINE:
+        for name in timed:
             if not qs[name].oracle:
                 continue
             best = float("inf")
@@ -235,7 +249,7 @@ def main() -> None:
 
     print(f"| query | spark {mult}x | duckdb {mult}x | ratio |")
     print("| --- | --- | --- | --- |")
-    for name in HEADLINE:
+    for name in timed:
         st = spark_t[name]
         dt = duck_t.get(name)
         ratio = f"{st / dt:.2f}x" if dt else "—"
@@ -243,10 +257,11 @@ def main() -> None:
             f"| {name} | {st*1000:.0f} ms | "
             f"{(dt*1000):.0f} ms | {ratio} |" if dt else f"| {name} | {st*1000:.0f} ms | — | — |"
         )
+    h_spark = sum(spark_t[n] for n in HEADLINE)
+    h_duck = sum(duck_t[n] for n in HEADLINE if n in duck_t)
     print(
-        f"| TOTAL | {sum(spark_t.values())*1000:.0f} ms | "
-        f"{sum(duck_t.values())*1000:.0f} ms | "
-        f"{sum(spark_t.values())/max(sum(duck_t.values()),1e-9):.2f}x |"
+        f"| HEADLINE TOTAL | {h_spark*1000:.0f} ms | "
+        f"{h_duck*1000:.0f} ms | {h_spark/max(h_duck,1e-9):.2f}x |"
     )
 
 
