@@ -668,9 +668,18 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "HyperLogLog++ approximate count-distinct (rsd=0.01) — the 100 TB "
         "replacement for exact COUNT(DISTINCT): fixed-size sketch, no "
-        "expand, mergeable across partitions. rows-only check; the pytest "
-        "suite asserts <5% error vs exact on sf0.001."
+        "expand, mergeable across partitions. Driver check is rows-only; "
+        "the local harness holds the sketch within 4% of DuckDB's exact "
+        "COUNT(DISTINCT) (check_oracle below, 4x the declared rsd), and "
+        "the pytest suite asserts <5% error vs exact on sf0.001."
     ),
+    check_oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+    check_rel_tol=0.04,
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
