@@ -1426,7 +1426,15 @@ def q_llm_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_multimodal",
-    oracle=None,  # synthesized binary payloads — rows-only
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(substring(text, 1, 32))) AS BIGINT) AS n_bytes,
+       CAST(n_chars % 64 + 16 AS INT) AS width,
+       CAST(n_chars % 48 + 12 AS INT) AS height,
+       CAST(list_aggregate(list_transform(string_split(substring(text, 1, 32), ''),
+            c -> unicode(c)), 'sum') % 65536 AS BIGINT) AS checksum
+FROM documents
+""",
     doc=(
         "Multimodal column plumbing: documents gain a BINARY payload + "
         "typed metadata struct (the image/audio/video pattern — at 100 TB "
@@ -1435,7 +1443,10 @@ def q_llm_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "schema/batch contract and a deterministic fake decoder (media "
         "codecs aren't in this container — SURVEY.md §2.10); swap "
         "`_fake_decode` for PIL/ffmpeg on a real cluster. Batch shape, "
-        "partitioning, and UDF signature are production-real and tested."
+        "partitioning, and UDF signature are production-real, and because "
+        "the fake decode is deterministic (byte count + byte-sum checksum "
+        "of the payload, ASCII corpus — verified), even the Python-side "
+        "Arrow path is value-checked against a DuckDB recomputation."
     ),
 )
 def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
