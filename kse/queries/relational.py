@@ -690,6 +690,43 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_sketch_merge",
+    oracle=None,  # sketch estimates can't hash-match exact counts
+    doc=(
+        "Mergeable-sketch architecture, demonstrated end-to-end: per-"
+        "event-type HyperLogLog sketches (Apache DataSketches via "
+        "hll_sketch_agg) are built in one scan, then the GLOBAL distinct "
+        "estimate is produced by hll_union_agg over those sketches — no "
+        "second scan of the data. This merge step is the entire 100 TB "
+        "story for distinct counting: per-partition/per-day sketches "
+        "persist as bytes, roll up across any grouping, and re-aggregate "
+        "in milliseconds. Local harness bounds every estimate within 5% "
+        "of DuckDB's exact COUNT(DISTINCT)."
+    ),
+    check_oracle="""
+SELECT event_type AS scope,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__' AS scope, CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users
+FROM events
+""",
+    check_rel_tol=0.05,
+)
+def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    typed = per.select(
+        F.col("event_type").alias("scope"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    overall = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("approx_users")
+    ).select(F.lit("__all__").alias("scope"), "approx_users")
+    return typed.unionByName(overall)
+
+
+@register(
     "q_agg_percentile",
     oracle="""
 SELECT l_returnflag,
