@@ -1,0 +1,85 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource`` API).
+
+The reference's ingest edge is a Kafka producer feeding the pipeline
+(SURVEY.md §0.1); ``src_producer`` images it as a spark.range expression.
+This module images it at the SOURCE layer instead: a pure-Python
+``DataSource`` registered under ``format("kse_events")``, showing the
+engine can grow new ingest formats without JVM code — the same API a
+production deployment would use for a REST paginator, a proprietary blob
+layout, or a message-queue snapshot.
+
+Scale posture: ``partitions()`` declares the split set up front, every
+partition generates independently on executors (no driver data path), and
+rows are emitted as pyarrow RecordBatches (one per partition, vectorized
+NumPy generation) — the Arrow fast path through the Python worker.
+Generation is pure modular arithmetic on the row id, so the DuckDB oracle
+recomputes the identical rows from ``range()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+SCHEMA = (
+    "event_id bigint, ts_us bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+class EventsPythonDataSource(DataSource):
+    """``spark.read.format("kse_events").option("rows", n).load()``.
+
+    Options: ``rows`` (default 1000), ``partitions`` (default 8).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "kse_events"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> "EventsReader":
+        return EventsReader(self.options)
+
+
+class EventsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows", "1000"))
+        self.n_parts = int(options.get("partitions", "8"))
+
+    def partitions(self):
+        # contiguous id ranges; the split set is declared up front so the
+        # scheduler fans partitions across executors like any file scan
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition):
+        import numpy as np
+        import pyarrow as pa
+
+        i = partition.value
+        lo = self.rows * i // self.n_parts
+        hi = self.rows * (i + 1) // self.n_parts
+        ids = np.arange(lo, hi, dtype=np.int64)
+        types = np.array(EVENT_TYPES)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids),
+                pa.array(1704067200_000_000 + ids * 60_000_000),
+                pa.array(ids % 97),
+                pa.array(types[ids % 5]),
+                pa.array((ids * 53 % 1000) / 10.0),
+                pa.array(['{"k": %d}' % k for k in ids * 13 % 100]),
+            ],
+            names=["event_id", "ts_us", "user_id", "event_type", "value", "props"],
+        )
+
+
+def register_once(spark) -> None:
+    """Idempotently register the format on the given session."""
+    if getattr(spark, "_kse_pysource_registered", False):
+        return
+    spark.dataSource.register(EventsPythonDataSource)
+    spark._kse_pysource_registered = True

@@ -83,6 +83,40 @@ def src_producer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "src_python_ds",
+    oracle="""
+SELECT range AS event_id,
+       1704067200000000 + range * 60000000 AS ts_us,
+       range % 97 AS user_id,
+       ['click','view','purchase','signup','error'][CAST(range % 5 AS INT) + 1] AS event_type,
+       CAST(range * 53 % 1000 AS DOUBLE) / 10.0 AS value,
+       '{"k": ' || CAST(range * 13 % 100 AS VARCHAR) || '}' AS props
+FROM range(1000)
+""",
+    doc=(
+        "Custom ingest format via the Spark 4 Python DataSource API "
+        "(kse/pysource.py): a pure-Python source registered as "
+        "format('kse_events') that declares its partition split set up "
+        "front and emits Arrow RecordBatches per partition — the template "
+        "for growing new ingest edges (REST paginators, proprietary blob "
+        "layouts) without JVM code. Generation is deterministic modular "
+        "arithmetic, so the oracle recomputes identical rows from "
+        "range(); a pytest asserts the declared partitioning is honored."
+    ),
+)
+def src_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.pysource import register_once
+
+    register_once(spark)
+    return (
+        spark.read.format("kse_events")
+        .option("rows", "1000")
+        .option("partitions", "8")
+        .load()
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projection / filter / predicates
 # ---------------------------------------------------------------------------

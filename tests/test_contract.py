@@ -190,6 +190,27 @@ def test_events_loader_handles_both_ts_vintages(spark, tmp_path):
     catalog._RELATION_CACHE.pop((id(spark), str(nanos_dir), "events"), None)
 
 
+def test_python_datasource_partitioning_and_determinism(spark):
+    """The custom Python data source must honor its declared partition
+    split set (8 partitions -> 8 tasks) and generate identical rows on
+    every read (no per-executor randomness)."""
+    from kse.pysource import register_once
+
+    register_once(spark)
+    df = (
+        spark.read.format("kse_events")
+        .option("rows", "1000")
+        .option("partitions", "8")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b and len(a) == 1000
+    # rows are disjoint contiguous id ranges covering [0, 1000)
+    assert [r[0] for r in a] == list(range(1000))
+
+
 def test_readme_coverage_table_matches_registry():
     """README's SURVEY §2 coverage table lists exactly the registered
     queries — the judge reads the table, so it must not drift."""
