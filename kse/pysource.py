@@ -18,7 +18,12 @@ recomputes the identical rows from ``range()``.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -43,6 +48,9 @@ class EventsPythonDataSource(DataSource):
 
     def reader(self, schema) -> "EventsReader":
         return EventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "EventsStreamReader":
+        return EventsStreamReader(self.options)
 
 
 class EventsReader(DataSourceReader):
@@ -75,6 +83,51 @@ class EventsReader(DataSourceReader):
             ],
             names=["event_id", "ts_us", "user_id", "event_type", "value", "props"],
         )
+
+
+def _gen_rows(lo: int, hi: int):
+    """The same deterministic generator as the batch reader, row-at-a-time
+    (micro-batches are small; the batch path uses vectorized Arrow)."""
+    for i in range(lo, hi):
+        yield (
+            i,
+            1704067200_000_000 + i * 60_000_000,
+            i % 97,
+            EVENT_TYPES[i % 5],
+            (i * 53 % 1000) / 10.0,
+            '{"k": %d}' % (i * 13 % 100),
+        )
+
+
+class EventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming replay of the same deterministic events — the pure-Python
+    Kafka stand-in: each micro-batch advances a single offset cursor by
+    ``batch_rows`` until ``rows`` have been emitted, then returns empty
+    batches. Offsets are plain dicts checkpointed by the engine, so
+    restart recovery and exactly-once accounting come from Structured
+    Streaming, exactly as with a Kafka source."""
+
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows", "1000"))
+        self.batch = int(options.get("batch_rows", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = int(start["pos"])
+        hi = min(lo + self.batch, self.rows)
+        # materialized list, not a generator: the engine's prefetch cache
+        # copies the iterator (generators aren't copyable), and a micro-
+        # batch is bounded by batch_rows anyway
+        return iter(list(_gen_rows(lo, hi))), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery: regenerate the exact range
+        return iter(list(_gen_rows(int(start["pos"]), int(end["pos"]))))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up — generation is stateless
 
 
 def register_once(spark) -> None:

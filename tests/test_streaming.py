@@ -280,3 +280,41 @@ def test_stateful_tws_matches_applyinpandaswithstate(spark, tmp_events_dir, tmp_
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert got[1] == (2, 10.5, "purchase")
     assert got[2] == (1, 0.5, "view")
+
+
+def test_python_datasource_stream_replays_all_rows(spark, tmp_path):
+    """The pure-Python streaming source (kse/pysource.py — the Kafka
+    stand-in with no JVM code) must emit every generated row exactly once
+    across micro-batches, advancing its checkpointable offset cursor."""
+    import time
+
+    from kse.pysource import register_once
+
+    register_once(spark)
+    df = (
+        spark.readStream.format("kse_events")
+        .option("rows", "500")
+        .option("batch_rows", "200")
+        .load()
+    )
+    name = f"pyst_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-pyst"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c >= 500:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT event_id, event_type FROM {name}").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == list(range(500))  # exactly once, no gaps, no dups
+    assert {r.event_type for r in rows} == {"click", "view", "purchase", "signup", "error"}
