@@ -1265,6 +1265,52 @@ def q_llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT sum(cnt) AS total FROM freq)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(-ln(CAST(cnt AS DOUBLE) / total)) / count(*), 6) AS avg_neg_logp
+FROM tok JOIN freq USING (token), tot
+GROUP BY doc_id
+""",
+    doc=(
+        "Perplexity-proxy quality score: average negative log-probability "
+        "of each document's tokens under the corpus's own unigram model — "
+        "the cheap statistical stand-in for LM-based quality filtering "
+        "(low = repetitive/common text, high = rare-token soup; both "
+        "tails get dropped in curation). Two aggregations (token "
+        "frequencies, then per-doc scores via an equi-join on token) plus "
+        "one scalar total: all shuffles key on token or doc_id, and the "
+        "unigram table is the only state — at 100 TB it is a broadcast "
+        "or a bucketed dimension, exactly like the TF-IDF document-"
+        "frequency table."
+    ),
+)
+def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    freq = freq.crossJoin(F.broadcast(tot))
+    return (
+        tok.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(-F.log(F.col("cnt").cast("double") / F.col("total")))
+                / F.count("*"),
+                6,
+            ).alias("avg_neg_logp"),
+        )
+    )
+
+
+@register(
     "q_llm_curate",
     oracle="""
 WITH gated AS (
