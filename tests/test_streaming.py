@@ -318,3 +318,56 @@ def test_python_datasource_stream_replays_all_rows(spark, tmp_path):
     ids = sorted(r.event_id for r in rows)
     assert ids == list(range(500))  # exactly once, no gaps, no dups
     assert {r.event_type for r in rows} == {"click", "view", "purchase", "signup", "error"}
+
+
+def test_python_datasource_stream_recovers_from_checkpoint(spark, tmp_path):
+    """Stop the stream mid-replay and restart on the same checkpoint: the
+    offset cursor must resume where it left off — every row exactly once
+    in the (recovery-capable) file sink across the two runs, no replays,
+    no gaps."""
+    import time
+
+    from kse.pysource import register_once
+
+    register_once(spark)
+    out = str(tmp_path / "out-recover")
+    ckpt = str(tmp_path / "ckpt-recover")
+
+    def start():
+        return (
+            spark.readStream.format("kse_events")
+            .option("rows", "600")
+            .option("batch_rows", "150")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def sunk():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if sunk() >= 150:
+            break
+        time.sleep(0.2)
+    q.stop()
+    n1 = sunk()
+    assert n1 >= 150  # made progress before the stop
+
+    q2 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if sunk() >= 600:
+            break
+        time.sleep(0.2)
+    q2.stop()
+    ids = sorted(r.event_id for r in spark.read.parquet(out).select("event_id").collect())
+    assert ids == list(range(600)), (n1, len(ids))
