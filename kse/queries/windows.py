@@ -248,3 +248,51 @@ def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("session_start_us"),
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
     )
+
+
+@register(
+    "q_win_funnel",
+    oracle="""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS seq,
+         count(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       (seq LIKE '%click%view%purchase%') AS converted
+FROM seqs
+""",
+    doc=(
+        "Ordered-funnel detection (click -> view -> purchase, gaps "
+        "allowed): each user's event types are assembled in (ts, "
+        "event_id) order and matched as an ordered subsequence — the "
+        "MATCH_RECOGNIZE-style pattern query of event analytics, "
+        "expressed with one grouped ordered aggregation per user. The "
+        "subsequence test rides on the event-type alphabet being "
+        "prefix-free (no type is a substring of another — FIXTURES.md), "
+        "so a single LIKE with wildcards is exact. One shuffle on "
+        "user_id; per-user state is the bounded type sequence. At 100 TB "
+        "cap sequence length per user (slice after sort) before the "
+        "string build."
+    ),
+)
+def q_win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id", ts_us(F.col("ts")).alias("ts_us"), "event_id", "event_type"
+    )
+    seqs = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.col("seq").like("%click%view%purchase%").alias("converted"),
+    )
