@@ -517,3 +517,58 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
     )
+
+
+@register(
+    "q_ts_burst",
+    oracle="""
+SELECT a.event_id, count(*) AS n_nearby
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+ AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 300000000 AND epoch_us(a.ts) + 300000000
+GROUP BY a.event_id
+""",
+    doc=(
+        "Burst detection: for each event, how many OTHER events the same "
+        "user fired within +/-5 minutes — the bot/burst signal of event "
+        "analytics, and the third banding pattern in the repo (after "
+        "value bands in q_join_theta_banded and length bands in "
+        "q_llm_dedup_editdist), here on TIME keys: bucket width == window "
+        "half-span, probe side emits its 3 adjacent buckets, candidates "
+        "meet exactly once in an equi-join on (user_id, bucket) and only "
+        "then pay the exact interval filter. A naive per-user self-join "
+        "is quadratic in the hottest user's event count; the band bound "
+        "makes the quadratic local to a 5-minute bucket. All arithmetic "
+        "is integer microseconds — exact in both engines."
+    ),
+)
+def q_ts_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import ts_us
+
+    half_us = 300_000_000  # 5 minutes
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", ts_us(F.col("ts")).alias("t_us")
+    )
+    bkt = F.floor(F.col("t_us") / half_us)
+    probe = e.select(
+        F.col("event_id").alias("ev_a"),
+        F.col("user_id").alias("u"),
+        F.col("t_us").alias("ta"),
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bkt"),
+    )
+    build = e.select(
+        F.col("event_id").alias("ev_b"),
+        F.col("user_id").alias("u"),
+        F.col("t_us").alias("tb"),
+        bkt.alias("bkt"),
+    )
+    return (
+        probe.join(build, ["u", "bkt"])
+        .filter(
+            (F.col("ev_a") != F.col("ev_b"))
+            & (F.col("tb") >= F.col("ta") - half_us)
+            & (F.col("tb") <= F.col("ta") + half_us)
+        )
+        .groupBy(F.col("ev_a").alias("event_id"))
+        .agg(F.count("*").alias("n_nearby"))
+    )
