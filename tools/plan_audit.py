@@ -101,6 +101,12 @@ FORBIDDEN = {
     "q_llm_dedup_minhash": [
         ("LSH bucket equi-join, not all-pairs", r"NestedLoop|CartesianProduct"),
     ],
+    "q_ts_burst": [
+        ("time-band equi-join, not per-user cross join", r"NestedLoop|CartesianProduct"),
+    ],
+    "q_win_funnel": [
+        ("no global sort of events", r"rangepartitioning"),
+    ],
 }
 
 
