@@ -43,7 +43,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "list":
         for name, q in sorted(all_queries().items()):
-            check = "oracle" if q.oracle else "rows-only"
+            if q.oracle:
+                check = "oracle"
+            elif q.check_oracle:
+                check = "tolerance"
+            else:
+                check = "rows-only"
             doc = " ".join((q.doc or "").split())[:80]
             print(f"{name:32s} [{check:9s}] {doc}")
         return 0
