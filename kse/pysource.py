@@ -18,11 +18,15 @@ recomputes the identical rows from ``range()``.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
@@ -130,9 +134,97 @@ class EventsStreamReader(SimpleDataSourceStreamReader):
         pass  # nothing external to clean up — generation is stateless
 
 
+@dataclass
+class _JsonlCommit(WriterCommitMessage):
+    """One staged part file written by a task."""
+
+    filename: str
+    n_rows: int
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("kse_jsonl").option("path", dir).save()`` — the
+    writer half of the Python DataSource API, mirroring the JSONL index
+    sink. Tasks stage part files under uuid names (never overwriting),
+    and only the driver-side ``commit`` publishes a ``_MANIFEST`` naming
+    the part files of the successful attempt — readers that honor the
+    manifest see task retries and aborted jobs atomically, the same
+    two-phase contract a real ES/bulk sink gets from idempotent upserts.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "kse_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("kse_jsonl requires .option('path', <dir>)")
+        return JsonlWriter(path, [f.name for f in schema.fields])
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, path: str, columns: list[str]) -> None:
+        self.path = path
+        self.columns = columns
+
+    def write(self, iterator) -> _JsonlCommit:
+        # runs on executors, one call per partition; stage under a unique
+        # name so speculative/retried tasks never clobber each other
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, fname), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.columns, row))) + "\n")
+                n += 1
+        return _JsonlCommit(filename=fname, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.filename for m in messages if m is not None),
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+def read_jsonl_sink(path: str) -> list[dict]:
+    """Read back a kse_jsonl directory through its manifest (committed
+    part files only — staged files from failed attempts are ignored)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    rows: list[dict] = []
+    for fname in manifest["files"]:
+        with open(os.path.join(path, fname)) as f:
+            rows.extend(json.loads(line) for line in f)
+    return rows
+
+
 def register_once(spark) -> None:
-    """Idempotently register the format on the given session."""
+    """Idempotently register the formats on the given session."""
     if getattr(spark, "_kse_pysource_registered", False):
         return
     spark.dataSource.register(EventsPythonDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
     spark._kse_pysource_registered = True

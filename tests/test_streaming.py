@@ -371,3 +371,25 @@ def test_python_datasource_stream_recovers_from_checkpoint(spark, tmp_path):
     q2.stop()
     ids = sorted(r.event_id for r in spark.read.parquet(out).select("event_id").collect())
     assert ids == list(range(600)), (n1, len(ids))
+
+
+def test_python_datasource_jsonl_sink_round_trip(spark, tmp_path):
+    """Write through the Python DataSource writer (two-phase: staged part
+    files + driver-side manifest commit) and read back via the manifest:
+    the round trip must preserve every row and only list committed files."""
+    from kse.pysource import read_jsonl_sink, register_once
+
+    register_once(spark)
+    src = (
+        spark.read.format("kse_events")
+        .option("rows", "250")
+        .option("partitions", "5")
+        .load()
+    )
+    out = str(tmp_path / "jsonl-sink")
+    src.write.format("kse_jsonl").option("path", out).mode("append").save()
+    rows = read_jsonl_sink(out)
+    assert sorted(r["event_id"] for r in rows) == list(range(250))
+    want = {r.event_id: (r.event_type, r.value) for r in src.collect()}
+    got = {r["event_id"]: (r["event_type"], r["value"]) for r in rows}
+    assert got == want
