@@ -1106,38 +1106,90 @@ FROM documents
     ),
 )
 def q_llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = t(spark, sf_dir, "documents")
     budget = 50000.0
-    # Coarse deterministic range bucket on the (unique) doc_id. Width is a
-    # constant: bucket count scales with corpus size, per-bucket work stays
-    # bounded. doc_ids are dense, so buckets are contiguous id ranges and
-    # bucket order == doc_id order across buckets.
-    width = 1024
-    b = d.withColumn("bkt", F.floor(F.col("doc_id") / width))
-    totals = b.groupBy("bkt").agg(F.sum("n_chars").alias("bkt_total"))
-    # exclusive prefix sum over one-row-per-bucket metadata (the only
-    # unpartitioned window in the plan — input is |buckets| rows, not docs)
+    with_cum = dist_prefix_sum(d, "doc_id", F.col("n_chars"))
+    return with_cum.select(
+        "doc_id",
+        F.floor((F.col("cum") - 1) / budget).cast("bigint").alias("shard"),
+    )
+
+
+def dist_prefix_sum(d: DataFrame, id_col: str, weight, width: int = 1024) -> DataFrame:
+    """Inclusive running sum of ``weight`` in ``id_col`` order as column
+    ``cum`` — WITHOUT a global sort. Coarse deterministic range bucket on
+    the (unique, dense) id: per-bucket totals aggregate in parallel, the
+    exclusive prefix over that one-row-per-bucket metadata is the only
+    unpartitioned window in the plan, and the per-bucket running sum is a
+    partitioned (fully parallel) window after a broadcast join of the base
+    offsets. Bucket width is constant: bucket count scales with corpus
+    size, per-bucket work stays bounded."""
+    from pyspark.sql import Window
+
+    b = d.withColumn("bkt", F.floor(F.col(id_col) / width)).withColumn(
+        "__w", weight
+    )
+    totals = b.groupBy("bkt").agg(F.sum("__w").alias("bkt_total"))
     w_base = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "bkt",
         F.coalesce(F.sum("bkt_total").over(w_base), F.lit(0)).alias("base"),
     )
-    # per-bucket running sum: partitioned window, fully parallel
     w_in = (
         Window.partitionBy("bkt")
-        .orderBy("doc_id")
+        .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         b.join(F.broadcast(offsets), "bkt")
-        .select(
-            "doc_id",
-            F.floor((F.col("base") + F.sum("n_chars").over(w_in) - 1) / budget)
-            .cast("bigint")
-            .alias("shard"),
-        )
+        .withColumn("cum", F.col("base") + F.sum("__w").over(w_in))
+        .drop("__w", "base", "bkt")
+    )
+
+
+@register(
+    "q_llm_pack_sequences",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tk
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 256 AS BIGINT) AS first_seq,
+       CAST((cum - 1) // 256 AS BIGINT) AS last_seq
+FROM c
+""",
+    doc=(
+        "Fixed-length training-sequence packing: documents concatenate in "
+        "stable doc_id order into 256-token sequences, docs split across "
+        "boundaries — each doc reports the first and last sequence it "
+        "lands in (a doc spanning k boundaries spans k+1 sequences). This "
+        "is the token-budget twin of q_llm_shard_assign's char-budget "
+        "packing, and both ride the same dist_prefix_sum: per-bucket "
+        "totals → metadata-sized exclusive prefix → broadcast base + "
+        "partitioned window; the corpus is never globally sorted. "
+        "Deterministic: every engine and rerun produces the same packing, "
+        "which is what makes the resulting training shards reproducible."
+    ),
+)
+def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq_len = 256
+    d = t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("bigint")
+    )
+    with_cum = dist_prefix_sum(d, "doc_id", F.col("n_tokens"))
+    return with_cum.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / seq_len)
+        .cast("bigint")
+        .alias("first_seq"),
+        F.floor((F.col("cum") - 1) / seq_len).cast("bigint").alias("last_seq"),
     )
 
 
