@@ -131,3 +131,70 @@ def test_unpivot_roundtrip(spark):
         .collect()
     }
     assert got == want
+
+
+def _write_planted_events(tmp_path, rows):
+    """rows: (event_id, iso_ts, user_id, event_type). Returns sf_dir."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ['{"k": 1}'] * len(rows),
+        }
+    )
+    sf_dir = tmp_path / "planted_events_sf"
+    sf_dir.mkdir()
+    pdf.to_parquet(sf_dir / "events.parquet", index=False)
+    return str(sf_dir)
+
+
+def test_funnel_planted_orderings(spark, tmp_path):
+    """Conversion requires click -> view -> purchase IN ORDER (gaps
+    allowed); the same types out of order must not convert."""
+    from kse import catalog
+    from kse.queries.windows import q_win_funnel
+
+    sf_dir = _write_planted_events(
+        tmp_path,
+        [
+            (1, "2024-01-01T10:00:00", 1, "click"),
+            (2, "2024-01-01T10:01:00", 1, "error"),
+            (3, "2024-01-01T10:02:00", 1, "view"),
+            (4, "2024-01-01T10:03:00", 1, "purchase"),
+            (5, "2024-01-01T10:00:00", 2, "purchase"),
+            (6, "2024-01-01T10:01:00", 2, "view"),
+            (7, "2024-01-01T10:02:00", 2, "click"),
+            (8, "2024-01-01T10:00:00", 3, "click"),
+            (9, "2024-01-01T10:01:00", 3, "view"),
+        ],
+    )
+    got = {r.user_id: r.converted for r in q_win_funnel(spark, sf_dir).collect()}
+    assert got == {1: True, 2: False, 3: False}
+    catalog._RELATION_CACHE.pop((id(spark), sf_dir, "events"), None)
+
+
+def test_burst_planted_window(spark, tmp_path):
+    """Events within +/-5 minutes of each other count as nearby — across
+    band-bucket boundaries too; isolated events yield no row."""
+    from kse import catalog
+    from kse.queries.extras import q_ts_burst
+
+    sf_dir = _write_planted_events(
+        tmp_path,
+        [
+            (1, "2024-01-01T10:00:00", 1, "click"),
+            (2, "2024-01-01T10:01:00", 1, "view"),
+            (3, "2024-01-01T10:04:30", 1, "click"),
+            (4, "2024-01-01T12:00:00", 1, "view"),  # isolated
+            (5, "2024-01-01T10:00:30", 2, "click"),  # other user, same times
+        ],
+    )
+    got = {r.event_id: r.n_nearby for r in q_ts_burst(spark, sf_dir).collect()}
+    # 1 is near 2 and 3; 2 near 1 and 3; 3 near 1 and 2 (4:30 gap < 5min)
+    assert got == {1: 2, 2: 2, 3: 2}
+    catalog._RELATION_CACHE.pop((id(spark), sf_dir, "events"), None)
