@@ -572,3 +572,45 @@ def q_ts_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ev_a").alias("event_id"))
         .agg(F.count("*").alias("n_nearby"))
     )
+
+
+@register(
+    "q_agg_skew_salted",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+""",
+    doc=(
+        "Two-phase SALTED aggregation — the hot-key recipe DESIGN.md "
+        "prescribes, as runnable code: phase 1 groups by (key, salt) with "
+        "salt = pmod(xxhash64(event_id), 16), spreading each hot key over "
+        "16 reducers; phase 2 re-aggregates the 16 partials per key. "
+        "Correct because count/sum/max are associative-commutative; the "
+        "result is value-identical to the direct groupBy (oracle-checked "
+        "here). With only 5 distinct event_type keys, a direct groupBy "
+        "would land 100 TB of rows on 5 reducers — the salt bounds "
+        "per-reducer load at total/16 per key. AQE's skew handling covers "
+        "joins; pre-aggregation skew on low-cardinality keys is what this "
+        "pattern is for (map-side partial aggregation already does this "
+        "implicitly when it fits in memory; explicit salting is the "
+        "guarantee when it doesn't)."
+    ),
+)
+def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    n_salts = 16
+    salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
+    # exact scaled-integer partial sums: order-independent across the
+    # salt regrouping AND bit-equal to the oracle (see _util.dsum)
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5)).alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("psum") / 1000000.0).alias("sum_value"),
+        r4(F.max("pmax"), "max_value"),
+    )
