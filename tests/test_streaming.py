@@ -393,3 +393,48 @@ def test_python_datasource_jsonl_sink_round_trip(spark, tmp_path):
     want = {r.event_id: (r.event_type, r.value) for r in src.collect()}
     got = {r["event_id"]: (r["event_type"], r["value"]) for r in rows}
     assert got == want
+
+
+def test_pipeline_from_python_source(spark, tmp_path):
+    """The full reference pipeline shape (source → parse → window →
+    indexed documents) running off the pure-Python streaming source: no
+    files, no Kafka — generation, windowed aggregation, and idempotent
+    indexing end-to-end. batch_rows == rows so availableNow drains the
+    whole replay in one micro-batch."""
+    from kse.pysource import register_once
+    from kse.sinks.indexer import JsonlIndexer, write_stream_to_index
+
+    register_once(spark)
+    events = (
+        spark.readStream.format("kse_events")
+        .option("rows", "300")
+        .option("batch_rows", "300")
+        .load()
+        .select(
+            "event_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    docs = windowed_docs(events)
+    index_root = str(tmp_path / "pyidx")
+    q = write_stream_to_index(
+        docs,
+        JsonlIndexer(index_root),
+        index="event_windows",
+        id_col="doc_id",
+        checkpoint_dir=str(tmp_path / "pyckpt"),
+        output_mode="update",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    idx = JsonlIndexer(index_root).read_index("event_windows")
+    assert sum(d["n_events"] for d in idx.values()) == 300
+    # 300 events at 1/minute span 300 min -> 30 ten-minute windows of 10
+    # events each; the id%5 type cycle puts every type in every window
+    # exactly twice -> 30 windows x 5 types = 150 docs of n_events=2
+    assert len(idx) == 150
+    assert all(d["n_events"] == 2 for d in idx.values())
