@@ -108,3 +108,55 @@ def test_window_sum_consistent_with_groupby_sum(spark):
     assert joined
     for r in joined:
         assert abs(r.final_rsum - r.total) < 1e-6
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=40), min_size=2, max_size=8))
+def test_editdist_banding_complete_property(spark, texts_in):
+    """Banded-length blocking must find EXACTLY the pairs brute force
+    finds under the threshold — blocking may never lose a qualifying
+    pair (completeness) nor invent one (soundness)."""
+    import pandas as pd
+
+    from kse.queries.llm import q_llm_dedup_editdist
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = list(enumerate(texts_in))
+    want = {
+        (i, j): lev(a, b)
+        for (i, a) in rows
+        for (j, b) in rows
+        if i < j and lev(a, b) <= 10
+    }
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pd.DataFrame(
+            {
+                "doc_id": [i for i, _ in rows],
+                "text": [s for _, s in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["src0"] * len(rows),
+                "n_chars": [len(s) for _, s in rows],
+            }
+        ).to_parquet(f"{tmp}/documents.parquet", index=False)
+        got = {
+            (r.doc_a, r.doc_b): r.dist
+            for r in q_llm_dedup_editdist(spark, tmp).collect()
+        }
+        from kse import catalog
+
+        catalog._RELATION_CACHE.pop((id(spark), tmp, "documents"), None)
+    assert got == want
