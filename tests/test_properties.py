@@ -160,3 +160,22 @@ def test_editdist_banding_complete_property(spark, texts_in):
 
         catalog._RELATION_CACHE.pop((id(spark), tmp, "documents"), None)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 100_000), st.integers(0, 50)),
+                min_size=1, max_size=20, unique_by=lambda p: p[0]))
+def test_dist_prefix_sum_matches_naive_property(spark, pairs):
+    """The two-pass distributed prefix sum must equal a sequential cumsum
+    in id order — including SPARSE, non-dense ids spanning many empty
+    buckets (the packing operators only need unique ordered ids)."""
+    from kse.queries.llm import dist_prefix_sum
+
+    df = spark.createDataFrame(pairs, "doc_id long, w long")
+    got = {r.doc_id: r.cum for r in dist_prefix_sum(df, "doc_id", F.col("w")).collect()}
+    run, want = 0, {}
+    for i, w in sorted(pairs):
+        run += w
+        want[i] = run
+    assert got == want
