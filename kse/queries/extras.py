@@ -614,3 +614,57 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("psum") / 1000000.0).alias("sum_value"),
         r4(F.max("pmax"), "max_value"),
     )
+
+
+@register(
+    "q_ts_ewma",
+    oracle="""
+WITH ordered AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS t_us FROM events
+)
+SELECT event_id, user_id,
+       round(list_reduce(
+         list(value) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         (acc, v) -> 0.7 * acc + 0.3 * v), 6) AS ewma
+FROM ordered
+""",
+    doc=(
+        "Exponentially weighted moving average per user (alpha=0.3, "
+        "seeded by the first value) — the inherently SEQUENTIAL "
+        "time-series op that window frames cannot express, implemented "
+        "on the applyInPandas tier: one shuffle groups each user's "
+        "events, the fold runs vectorized-Arrow-batched inside the "
+        "Python worker, and state never leaves the group. The fold is "
+        "written as literally `0.7*acc + 0.3*v` (not the algebraically "
+        "equal `acc + 0.3*(v-acc)`) so both engines execute the same "
+        "floating-point expression in the same order — bit-equal before "
+        "rounding. Oracle: DuckDB's windowed list + list_reduce performs "
+        "the identical left fold. At 100 TB: per-user sequences are "
+        "bounded, groups parallelize across executors, and the same code "
+        "is the batch image of applyInPandasWithState's streaming EWMA."
+    ),
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import ts_us
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", ts_us(F.col("ts")).alias("t_us"), "value"
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(["t_us", "event_id"])
+        acc = None
+        out = []
+        for v in pdf["value"]:
+            acc = v if acc is None else 0.7 * acc + 0.3 * v
+            out.append(acc)
+        res = pdf[["event_id", "user_id"]].copy()
+        res["ewma"] = out
+        return res
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(fold, "event_id long, user_id long, ewma double")
+        .withColumn("ewma", F.round("ewma", 6))
+    )
