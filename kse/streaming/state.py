@@ -61,6 +61,49 @@ def user_profiles(events: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_SCHEMA = "user_id bigint, stage int, converted boolean"
+_FUNNEL_STATE = "stage int"
+_FUNNEL_STEPS = ["click", "view", "purchase"]
+
+
+def _update_funnel(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming funnel state machine: per-user progress through
+    click → view → purchase (gaps allowed), advanced event by event in
+    event-time order within each micro-batch. State is ONE int per user
+    (the stage reached) — constant-size regardless of stream length, and
+    the streaming twin of the batch q_win_funnel: both report whether the
+    ordered subsequence has been completed."""
+    (stage,) = state.get if state.exists else (0,)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for etype in pdf["event_type"]:
+            if stage < len(_FUNNEL_STEPS) and etype == _FUNNEL_STEPS[stage]:
+                stage += 1
+    state.update((stage,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "stage": [stage],
+            "converted": [stage >= len(_FUNNEL_STEPS)],
+        }
+    )
+
+
+def funnel_progress(events: DataFrame) -> DataFrame:
+    """Stateful per-user funnel progression over the event stream."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark 4 transformWithStateInPandas — the successor API (SPARK-49770):
 # named state variables (value/list/map), TTL, timers, and schema evolution,

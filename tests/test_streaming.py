@@ -438,3 +438,43 @@ def test_pipeline_from_python_source(spark, tmp_path):
     # exactly twice -> 30 windows x 5 types = 150 docs of n_events=2
     assert len(idx) == 150
     assert all(d["n_events"] == 2 for d in idx.values())
+
+
+def test_stateful_funnel_converts_across_microbatches(spark, tmp_events_dir, tmp_path):
+    """Funnel progress must carry state BETWEEN micro-batches: user 1's
+    click arrives in batch 0 and the view+purchase in batch 1 (conversion
+    only visible if stage survived the batch boundary); user 2 sees the
+    same types out of order and must not convert; user 3 stalls mid-way."""
+    import time
+
+    write_event_chunk(
+        tmp_events_dir,
+        "000.json",
+        [
+            ev(1, "2024-01-01T10:00:00Z", user_id=1, etype="click"),
+            ev(2, "2024-01-01T10:00:30Z", user_id=2, etype="purchase"),
+            ev(3, "2024-01-01T10:01:00Z", user_id=3, etype="click"),
+        ],
+    )
+    time.sleep(1.1)  # distinct mtimes => the file source keeps batch order
+    write_event_chunk(
+        tmp_events_dir,
+        "001.json",
+        [
+            ev(4, "2024-01-01T10:02:00Z", user_id=1, etype="view"),
+            ev(5, "2024-01-01T10:03:00Z", user_id=1, etype="purchase"),
+            ev(6, "2024-01-01T10:03:30Z", user_id=2, etype="view"),
+            ev(7, "2024-01-01T10:04:00Z", user_id=2, etype="click"),
+            ev(8, "2024-01-01T10:05:00Z", user_id=3, etype="view"),
+        ],
+    )
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(ST.funnel_progress(file_events(spark, tmp_events_dir)), name, tmp_path)
+    # update mode: keep the LAST row per user
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    final: dict[int, tuple[int, bool]] = {}
+    for r in rows:
+        final[r.user_id] = (r.stage, r.converted)
+    assert final[1] == (3, True)   # click | view, purchase across batches
+    assert final[2] == (1, False)  # purchase,view,click: only click counts
+    assert final[3] == (2, False)  # click, view — never purchased
