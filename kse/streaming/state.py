@@ -104,6 +104,43 @@ def funnel_progress(events: DataFrame) -> DataFrame:
     )
 
 
+EWMA_SCHEMA = "user_id bigint, n_events bigint, ewma double"
+_EWMA_STATE = "n bigint, acc double"
+_EWMA_ALPHA = 0.3
+
+
+def _update_ewma(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming EWMA per user — the stateful twin of the batch
+    ``q_ts_ewma``: the fold `0.7*acc + 0.3*v` continues across
+    micro-batches from two numbers of state (count + current accumulator),
+    so an unbounded stream needs constant per-user memory. Same literal
+    arithmetic as the batch op and its oracle, so all three agree
+    bit-for-bit on ordered input."""
+    n, acc = state.get if state.exists else (0, None)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            acc = v if acc is None else (1 - _EWMA_ALPHA) * acc + _EWMA_ALPHA * v
+            n += 1
+    state.update((n, acc))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [acc]})
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Stateful per-user EWMA over the event stream."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark 4 transformWithStateInPandas — the successor API (SPARK-49770):
 # named state variables (value/list/map), TTL, timers, and schema evolution,

@@ -478,3 +478,37 @@ def test_stateful_funnel_converts_across_microbatches(spark, tmp_events_dir, tmp
     assert final[1] == (3, True)   # click | view, purchase across batches
     assert final[2] == (1, False)  # purchase,view,click: only click counts
     assert final[3] == (2, False)  # click, view — never purchased
+
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_events_dir, tmp_path):
+    """The streaming EWMA's final value per user must equal the batch fold
+    over the same events — state carries the accumulator across
+    micro-batches with the same literal arithmetic."""
+    import time
+
+    write_event_chunk(
+        tmp_events_dir,
+        "000.json",
+        [
+            ev(1, "2024-01-01T10:00:00Z", user_id=1, value=10.0),
+            ev(2, "2024-01-01T10:01:00Z", user_id=1, value=20.0),
+        ],
+    )
+    time.sleep(1.1)  # distinct mtimes => the file source keeps batch order
+    write_event_chunk(
+        tmp_events_dir,
+        "001.json",
+        [
+            ev(3, "2024-01-01T10:02:00Z", user_id=1, value=30.0),
+            ev(4, "2024-01-01T10:03:00Z", user_id=2, value=5.0),
+        ],
+    )
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(ST.ewma_stream(file_events(spark, tmp_events_dir)), name, tmp_path)
+    final: dict[int, tuple[int, float]] = {}
+    for r in spark.sql(f"SELECT * FROM {name}").collect():
+        if final.get(r.user_id, (0,))[0] <= r.n_events:
+            final[r.user_id] = (r.n_events, r.ewma)
+    # batch fold: 10 -> 0.7*10+0.3*20 = 13 -> 0.7*13+0.3*30 = 18.1
+    assert final[1] == (3, 0.7 * (0.7 * 10.0 + 0.3 * 20.0) + 0.3 * 30.0)
+    assert final[2] == (1, 5.0)
