@@ -151,7 +151,11 @@ def main() -> None:
         from kse.streaming.pipeline import run_offline
 
         if layout_ok:
-            events_dir = os.path.join("/tmp", f"kse-layout-{sf:g}", "events.parquet")
+            # events land as a bucketed table in the layout (user_id
+            # buckets); its external-table files stream like any parquet dir
+            events_dir = os.path.join("/tmp", f"kse-layout-{sf:g}", "events_bucketed")
+            if not os.path.exists(events_dir):
+                events_dir = os.path.join("/tmp", f"kse-layout-{sf:g}", "events.parquet")
         else:
             # the raw driver table is a single FILE; the file-stream source
             # needs a directory, so stage a symlink to it in a temp dir

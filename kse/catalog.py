@@ -151,10 +151,18 @@ _LAYOUT_FLOOR = {"documents": 4, "embeddings": 4, "events": 8, "orders": 8}
 # The two big fact tables land bucketed+sorted on their shared join key
 # (scale.write_bucketed's layout): every lineitem⋈orders query then runs
 # with zero Exchange on either side — the dominant cost of large⋈large
-# joins is paid once at ingest, not per query. 8 buckets ≈ the file-count
+# joins is paid once at ingest, not per query. Events land bucketed on
+# user_id for the same reason applied to WINDOWS: every per-user operator
+# (sessionize, z-score, lead/lag, funnel, EWMA) requires clustering by
+# user_id, which the bucketed scan already satisfies — the window plans
+# with a local sort and zero Exchange. 8-16 buckets ≈ the file-count
 # target above; at 100 TB the same layout targets ~128 MB-1 GB per bucket
 # file instead.
-_LAYOUT_BUCKETS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+_LAYOUT_BUCKETS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+}
 _N_BUCKETS = 16
 
 # (sf_dir, table) -> catalog table name for bucketed layout members.

@@ -119,3 +119,29 @@ def test_layout_buckets_fact_tables_for_shuffle_free_join(spark, tmp_path):
         catalog._LAYOUT_TABLES.update(saved_tables)
         catalog._RELATION_CACHE.clear()
         registry.invalidate_plans(spark=spark)
+
+
+def test_layout_buckets_events_for_shuffle_free_windows(spark, tmp_path):
+    """prepare_local_layout lands events bucketed on user_id: every
+    per-user window operator then plans with ZERO Exchange — the bucketed
+    scan already satisfies the window's clustering, and even the
+    per-(user, session) rollup rides the same distribution."""
+    from kse import catalog, registry
+    from kse.queries.windows import q_win_sessionize
+
+    saved_layouts = dict(catalog._LAYOUTS)
+    saved_tables = dict(catalog._LAYOUT_TABLES)
+    try:
+        catalog.prepare_local_layout(spark, SF_SMOKE, str(tmp_path / "layout"))
+        df = q_win_sessionize(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert df.count() > 0
+    finally:
+        catalog._LAYOUTS.clear()
+        catalog._LAYOUTS.update(saved_layouts)
+        catalog._LAYOUT_TABLES.clear()
+        catalog._LAYOUT_TABLES.update(saved_tables)
+        catalog._RELATION_CACHE.clear()
+        registry.invalidate_plans(spark=spark)
