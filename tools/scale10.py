@@ -47,6 +47,9 @@ SCALE_OPS = [
     "q_llm_shard_assign",
     "q_join_theta_banded",
     "q_llm_curate",
+    "q_win_sessionize",
+    "q_ts_zscore",
+    "q_ts_ewma",
 ]
 
 WORDS = [
@@ -204,6 +207,26 @@ def main() -> None:
 
     # the generated dir IS the engine layout (multi-file, micros timestamps)
     catalog._LAYOUTS[dest] = dest
+
+    # events additionally land as a bucketed-by-user_id table (mirroring
+    # prepare_local_layout) so the per-user window ops in SCALE_OPS are
+    # measured on the plan they'd run at 100 TB: zero Exchange, local sort
+    import hashlib
+
+    tag = hashlib.md5(dest.encode()).hexdigest()[:8]
+    tbl = f"kse_s10_events_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        spark.read.parquet(os.path.join(dest, "events.parquet"))
+        .repartition(16, "user_id")
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", os.path.join(dest, "events_bucketed"))
+        .bucketBy(16, "user_id")
+        .sortBy("user_id")
+        .saveAsTable(tbl)
+    )
+    catalog._LAYOUT_TABLES[(dest, "events")] = tbl
 
     def mat(df):
         df.write.mode("overwrite").format("noop").save()
