@@ -858,6 +858,59 @@ def q_llm_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_vocab",
+    oracle="""
+WITH freq AS (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  GROUP BY token
+),
+tot AS (SELECT sum(cnt) AS total FROM freq)
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+       round(sum(cnt) OVER (ORDER BY cnt DESC, token
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / (SELECT total FROM tot), 6) AS cum_coverage
+FROM freq
+QUALIFY rank <= 50
+""",
+    doc=(
+        "Vocabulary construction with coverage accounting — the tokenizer-"
+        "building step of a training pipeline: token frequencies, ranked, "
+        "with each prefix's cumulative share of the corpus (read off the "
+        "vocab size needed for, say, 95% coverage). The corpus-sized work "
+        "is one partially-aggregated groupBy; the ordered cum-coverage "
+        "window then runs over the VOCABULARY (one row per distinct "
+        "token), which is metadata-scale next to the corpus — same "
+        "single-reducer-on-metadata budget as the prefix-sum bucket "
+        "offsets. Top-50 emitted; scalar total via broadcast."
+    ),
+)
+def q_llm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "cnt",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            F.round(F.sum("cnt").over(wsum) / F.col("total"), 6).alias("cum_coverage"),
+        )
+        .filter(F.col("rank") <= 50)
+    )
+
+
+@register(
     "q_llm_repetition",
     oracle="""
 WITH b AS (
