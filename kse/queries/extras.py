@@ -653,12 +653,15 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(pdf):
+        import numpy as np
+
         pdf = pdf.sort_values(["t_us", "event_id"])
-        acc = None
-        out = []
-        for v in pdf["value"]:
-            acc = v if acc is None else 0.7 * acc + 0.3 * v
-            out.append(acc)
+        vals = pdf["value"].to_numpy()
+        out = np.empty(len(vals))
+        acc = 0.0
+        for i, v in enumerate(vals):  # ndarray iteration, ~2x Series iteration
+            acc = v if i == 0 else 0.7 * acc + 0.3 * v
+            out[i] = acc
         res = pdf[["event_id", "user_id"]].copy()
         res["ewma"] = out
         return res
