@@ -671,3 +671,40 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fold, "event_id long, user_id long, ewma double")
         .withColumn("ewma", F.round("ewma", 6))
     )
+
+
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE mons(mi) AS (
+  SELECT CAST(min(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) FROM orders
+  UNION ALL
+  SELECT mi + 1 FROM mons
+  WHERE mi < (SELECT CAST(max(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) FROM orders)
+)
+SELECT CAST(mi AS INT) AS month_index,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM mons LEFT JOIN orders
+  ON CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) = mi
+GROUP BY mi
+"""
+
+
+@register(
+    "q_sql_recursive",
+    oracle=_RECURSIVE_SPINE_SQL,
+    doc=(
+        "Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497): expand a "
+        "complete month spine from min to max order date by recursion, "
+        "then left-join order counts onto it — months with zero orders "
+        "appear explicitly, which no plain GROUP BY can produce. The SQL "
+        "text is byte-identical on both engines (the house SQL-path "
+        "pattern), so the oracle exercises the same recursion. The "
+        "recursion depth is the month RANGE (metadata-scale), not the "
+        "row count; each iteration is one tiny row. The set-based "
+        "recursion twin of the iterative DataFrame loop in "
+        "q_llm_dedup_cluster."
+    ),
+)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import sql_q
+
+    return sql_q(spark, sf_dir, _RECURSIVE_SPINE_SQL, ["orders"])
