@@ -674,17 +674,17 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RECURSIVE_SPINE_SQL = """
-WITH RECURSIVE mons(mi) AS (
-  SELECT CAST(min(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) FROM orders
+WITH RECURSIVE qtrs(qi) AS (
+  SELECT CAST(min(year(o_orderdate) * 4 + quarter(o_orderdate)) AS INT) FROM orders
   UNION ALL
-  SELECT mi + 1 FROM mons
-  WHERE mi < (SELECT CAST(max(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) FROM orders)
+  SELECT qi + 1 FROM qtrs
+  WHERE qi < (SELECT CAST(max(year(o_orderdate) * 4 + quarter(o_orderdate)) AS INT) FROM orders)
 )
-SELECT CAST(mi AS INT) AS month_index,
+SELECT CAST(qi AS INT) AS quarter_index,
        CAST(count(o_orderkey) AS BIGINT) AS n_orders
-FROM mons LEFT JOIN orders
-  ON CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) = mi
-GROUP BY mi
+FROM qtrs LEFT JOIN orders
+  ON CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS INT) = qi
+GROUP BY qi
 """
 
 
@@ -693,12 +693,14 @@ GROUP BY mi
     oracle=_RECURSIVE_SPINE_SQL,
     doc=(
         "Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497): expand a "
-        "complete month spine from min to max order date by recursion, "
-        "then left-join order counts onto it — months with zero orders "
+        "complete quarter spine from min to max order date by recursion, "
+        "then left-join order counts onto it — quarters with zero orders "
         "appear explicitly, which no plain GROUP BY can produce. The SQL "
         "text is byte-identical on both engines (the house SQL-path "
         "pattern), so the oracle exercises the same recursion. The "
-        "recursion depth is the month RANGE (metadata-scale), not the "
+        "recursion depth is the quarter RANGE (metadata-scale, and each "
+        "recursive step costs Spark a full micro-plan, so coarse spines "
+        "recurse and fine grains join), not the "
         "row count; each iteration is one tiny row. The set-based "
         "recursion twin of the iterative DataFrame loop in "
         "q_llm_dedup_cluster."
