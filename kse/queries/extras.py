@@ -623,10 +623,10 @@ WITH ordered AS (
   SELECT event_id, user_id, value, epoch_us(ts) AS t_us FROM events
 )
 SELECT event_id, user_id,
-       round(list_reduce(
+       list_reduce(
          list(value) OVER (PARTITION BY user_id ORDER BY t_us, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         (acc, v) -> 0.7 * acc + 0.3 * v), 6) AS ewma
+         (acc, v) -> 0.7 * acc + 0.3 * v) AS ewma
 FROM ordered
 """,
     doc=(
@@ -638,8 +638,11 @@ FROM ordered
         "Python worker, and state never leaves the group. The fold is "
         "written as literally `0.7*acc + 0.3*v` (not the algebraically "
         "equal `acc + 0.3*(v-acc)`) so both engines execute the same "
-        "floating-point expression in the same order — bit-equal before "
-        "rounding. Oracle: DuckDB's windowed list + list_reduce performs "
+        "floating-point expression in the same order — the raw doubles "
+        "are BIT-EQUAL, which is why the output is deliberately not "
+        "rounded (the engines' half-up rounding implementations disagree "
+        "on boundary values; exact equality is the stronger check "
+        "anyway). Oracle: DuckDB's windowed list + list_reduce performs "
         "the identical left fold. At 100 TB: per-user sequences are "
         "bounded, groups parallelize across executors, and the same code "
         "is the batch image of applyInPandasWithState's streaming EWMA."
@@ -666,10 +669,8 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         res["ewma"] = out
         return res
 
-    return (
-        e.groupBy("user_id")
-        .applyInPandas(fold, "event_id long, user_id long, ewma double")
-        .withColumn("ewma", F.round("ewma", 6))
+    return e.groupBy("user_id").applyInPandas(
+        fold, "event_id long, user_id long, ewma double"
     )
 
 

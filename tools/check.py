@@ -88,6 +88,19 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return errs
 
 
+def _normalize_tol(df: pd.DataFrame) -> pd.DataFrame:
+    """Like :func:`normalize`, but rows sort by the EXACT (non-numeric)
+    key columns first: numeric columns hold approximate sketch values
+    whose spark-vs-duck deltas would otherwise reorder rows and misalign
+    the comparison."""
+    key_cols = sorted(c for c in df.columns if not np.issubdtype(df[c].dtype, np.number))
+    num_cols = sorted(c for c in df.columns if np.issubdtype(df[c].dtype, np.number))
+    df = df[key_cols + num_cols].copy()
+    sort_cols = key_cols + num_cols
+    df = df.sort_values(sort_cols, kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
 def compare_tol(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rel_tol: float) -> list[str]:
     """Row-count + columns exact; float values within ``rel_tol`` relative
     error (the accuracy contract of sketch-backed operators)."""
@@ -99,7 +112,7 @@ def compare_tol(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rel_tol: float)
         errs.append(f"columns: spark={s_cols} duck={d_cols}")
     if errs:
         return errs
-    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    s, d = _normalize_tol(spark_pdf), _normalize_tol(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]
         if np.issubdtype(sv.dtype, np.number) and np.issubdtype(dv.dtype, np.number):
