@@ -233,3 +233,31 @@ def test_cli_list(capsys):
     for name in registry.queries():
         assert name in out
     assert "[oracle" in out and "[rows-only" in out
+
+
+def test_tolerance_comparator_aligns_rows_on_key_columns():
+    """Regression pin (found at sf0.1): approximate value columns must not
+    drive row ordering in the tolerance comparison — two frames whose
+    numeric sort orders differ but whose keyed values agree within
+    tolerance must compare clean, and a genuine violation must not."""
+    import importlib.util
+    import os
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "check_mod", os.path.join(os.path.dirname(__file__), "..", "tools", "check.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    spark_pdf = pd.DataFrame({"scope": ["a", "b"], "est": [100.0, 101.0]})
+    duck_pdf = pd.DataFrame({"scope": ["a", "b"], "est": [102.0, 99.0]})
+    # sorted by est alone, rows would cross-pair (100 vs 99, 101 vs 102
+    # passes by luck of closeness here — use a starker case):
+    spark_pdf2 = pd.DataFrame({"scope": ["a", "b"], "est": [100.0, 200.0]})
+    duck_pdf2 = pd.DataFrame({"scope": ["b", "a"], "est": [198.0, 101.0]})
+    assert mod.compare_tol(spark_pdf, duck_pdf, 0.05) == []
+    assert mod.compare_tol(spark_pdf2, duck_pdf2, 0.05) == []
+    bad = pd.DataFrame({"scope": ["a", "b"], "est": [150.0, 200.0]})
+    assert mod.compare_tol(spark_pdf2, bad, 0.05) != []
