@@ -391,3 +391,40 @@ def q_fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ifnull(F.expr("nullif(o_orderpriority, '5-LOW')"), F.lit("low")).alias("prio_c"),
         F.expr("nullif(o_orderstatus, 'F')").isNull().alias("was_f"),
     )
+
+
+@register(
+    "q_fn_to_json",
+    oracle="""
+SELECT o_orderkey,
+       to_json(struct_pack(
+         id := o_orderkey,
+         status := o_orderstatus,
+         priority := o_orderpriority,
+         yr := year(o_orderdate)
+       )) AS doc
+FROM orders
+""",
+    doc=(
+        "Document assembly: each order rendered as the JSON document an "
+        "indexer sink ships (the batch image of the pipeline's ES doc "
+        "build — kse/streaming/pipeline.py does the same for window "
+        "aggregates). to_json(struct(...)) emits byte-identical compact "
+        "JSON in both engines for int/string fields (verified), so the "
+        "serialized text itself is hash-checked, not just the values. "
+        "Map-only, embarrassingly parallel."
+    ),
+)
+def q_fn_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("id"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+                F.year("o_orderdate").alias("yr"),
+            )
+        ).alias("doc"),
+    )
