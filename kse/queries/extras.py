@@ -711,3 +711,40 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kse.queries._util import sql_q
 
     return sql_q(spark, sf_dir, _RECURSIVE_SPINE_SQL, ["orders"])
+
+
+_LISTAGG_SQL = """
+SELECT o_custkey,
+       listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderkey) AS statuses,
+       count(*) AS n_orders
+FROM orders
+WHERE o_custkey < 100
+GROUP BY o_custkey
+"""
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+SELECT o_custkey,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_custkey < 100
+GROUP BY o_custkey
+""",
+    doc=(
+        "Ordered string aggregation (SQL:2016 LISTAGG, new in Spark 4): "
+        "each customer's order statuses concatenated in order-key order — "
+        "the per-entity event-history string of a document index. The "
+        "explicit WITHIN GROUP ordering is what makes the text "
+        "deterministic and therefore hash-checkable (DuckDB spells it "
+        "string_agg ... ORDER BY). Ordered aggregation buffers per group, "
+        "so at 100 TB the group key must bound the history length — here "
+        "orders-per-customer, naturally bounded."
+    ),
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import sql_q
+
+    return sql_q(spark, sf_dir, _LISTAGG_SQL, ["orders"])
