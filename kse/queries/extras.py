@@ -748,3 +748,34 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kse.queries._util import sql_q
 
     return sql_q(spark, sf_dir, _LISTAGG_SQL, ["orders"])
+
+
+_PCTL_DISC_SQL = """
+SELECT l_linestatus,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_qty,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@register(
+    "q_agg_percentile_disc",
+    oracle="""
+SELECT l_linestatus,
+       CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS med_qty,
+       CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) AS p90_price
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    doc=(
+        "Discrete percentiles (percentile_disc WITHIN GROUP — an actual "
+        "data value, never interpolated): the companion to the continuous "
+        "percentile query, hash-exact because both engines return the "
+        "same stored double rather than an interpolation of two."
+    ),
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import sql_q
+
+    return sql_q(spark, sf_dir, _PCTL_DISC_SQL, ["lineitem"])
