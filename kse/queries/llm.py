@@ -858,6 +858,44 @@ def q_llm_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_feature_hash",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+b AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', md5(token)[1]) - 1) * 16
+          + strpos('0123456789abcdef', md5(token)[2]) - 1) % 64 AS dim
+  FROM tok
+)
+SELECT doc_id, CAST(dim AS INT) AS dim, count(*) AS cnt
+FROM b GROUP BY doc_id, dim
+""",
+    doc=(
+        "Feature hashing (the 'hashing trick', Weinberger et al. '09): "
+        "tokens hash into a fixed 64-dim bucket space, yielding a sparse "
+        "bag-of-words vector per document with NO vocabulary table — the "
+        "memoryless featurizer for training pipelines. Emitted sparse "
+        "(doc_id, dim, cnt), the layout a feature store ingests. Bucket = "
+        "first md5 byte mod 64 so the oracle recomputes it exactly (swap "
+        "xxhash64 at 100 TB when engine parity isn't needed). Map-side "
+        "collapse: the token blow-up partial-aggregates to <=64 rows per "
+        "doc before the shuffle."
+    ),
+)
+def q_llm_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    dim = (F.conv(F.substring(F.md5("token"), 1, 2), 16, 10).cast("int") % 64).alias("dim")
+    return (
+        tok.select("doc_id", dim)
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
     "q_llm_vocab",
     oracle="""
 WITH freq AS (
