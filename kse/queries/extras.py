@@ -779,3 +779,46 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kse.queries._util import sql_q
 
     return sql_q(spark, sf_dir, _PCTL_DISC_SQL, ["lineitem"])
+
+
+@register(
+    "q_win_pct_change",
+    oracle="""
+WITH monthly AS (
+  SELECT o_orderpriority,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mi,
+         count(*) AS n,
+         CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS rev
+  FROM orders GROUP BY o_orderpriority, year(o_orderdate) * 12 + month(o_orderdate)
+)
+SELECT o_orderpriority, mi, n,
+       round((rev - lag(rev) OVER w) / lag(rev) OVER w, 6) AS rev_pct_change
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY mi)
+""",
+    doc=(
+        "Period-over-period change — the dashboard query shape: monthly "
+        "revenue per priority (corpus-sized aggregation, exact scaled-"
+        "integer sums) followed by lag-based percent change over the "
+        "SERIES (one row per month x priority — metadata-scale, so the "
+        "per-priority window costs nothing). First month per priority is "
+        "NULL by definition, preserved in both engines."
+    ),
+)
+def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int").alias("mi"),
+    ).agg(
+        F.count("*").alias("n"),
+        (F.sum(F.floor(F.col("o_totalprice") * 1000000.0 + 0.5)) / 1000000.0).alias("rev"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("mi")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "mi",
+        "n",
+        F.round((F.col("rev") - prev) / prev, 6).alias("rev_pct_change"),
+    )
