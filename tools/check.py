@@ -42,8 +42,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            # normalize bytes/None representations
-            df[c] = df[c].map(lambda v: v if v is not None else None)
+            # normalize container representations: Spark yields python
+            # lists without Arrow but numpy arrays with it, DuckDB yields
+            # numpy arrays — compare as lists either way
+            df[c] = df[c].map(
+                lambda v: list(v) if isinstance(v, np.ndarray) else v
+            )
     sort_cols = list(df.columns)
     try:
         df = df.sort_values(sort_cols, kind="mergesort", na_position="last")
