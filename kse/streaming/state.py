@@ -141,6 +141,48 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     )
 
 
+TTL_SCHEMA = "user_id bigint, n_events bigint, expired boolean"
+_TTL_STATE = "n bigint"
+
+
+def _update_with_ttl(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user event counting with EVENT-TIME state eviction: when the
+    watermark passes a user's timeout, the state is emitted once as
+    ``expired`` and removed — the mechanism that keeps total state bounded
+    by the ACTIVE population at 100 TB instead of growing with every user
+    ever seen. Timeout = watermark + 1 minute of event time."""
+    if state.hasTimedOut:
+        (n,) = state.get
+        state.remove()
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "expired": [True]})
+        return
+    (n,) = state.get if state.exists else (0,)
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "expired": [False]})
+
+
+def counts_with_ttl(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Stateful per-user counts whose state expires via event-time TTL."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_with_ttl,
+            outputStructType=TTL_SCHEMA,
+            stateStructType=_TTL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark 4 transformWithStateInPandas — the successor API (SPARK-49770):
 # named state variables (value/list/map), TTL, timers, and schema evolution,

@@ -512,3 +512,38 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_events_dir, tmp_path):
     # batch fold: 10 -> 0.7*10+0.3*20 = 13 -> 0.7*13+0.3*30 = 18.1
     assert final[1] == (3, 0.7 * (0.7 * 10.0 + 0.3 * 20.0) + 0.3 * 30.0)
     assert final[2] == (1, 5.0)
+
+
+def test_stateful_ttl_evicts_expired_user_state(spark, tmp_events_dir, tmp_path):
+    """Event-time TTL: once the watermark passes a user's timeout, their
+    state is emitted once as expired and removed — the bounded-state
+    mechanism for churning populations. User 1 goes quiet, a later event
+    advances the watermark far past their timeout, and the expiry row
+    must carry user 1's full count."""
+    import time
+
+    write_event_chunk(
+        tmp_events_dir,
+        "000.json",
+        [
+            ev(1, "2024-01-01T10:00:00Z", user_id=1),
+            ev(2, "2024-01-01T10:00:30Z", user_id=1),
+        ],
+    )
+    time.sleep(1.1)  # distinct mtimes => the file source keeps batch order
+    # watermark jumps to 12:00 (>> 10:00:30 + 1 min timeout)
+    write_event_chunk(
+        tmp_events_dir, "001.json", [ev(3, "2024-01-01T12:00:00Z", user_id=99)]
+    )
+    time.sleep(1.1)
+    # one more batch so the timeout (evaluated against the advanced
+    # watermark) actually fires
+    write_event_chunk(
+        tmp_events_dir, "002.json", [ev(4, "2024-01-01T12:01:00Z", user_id=99)]
+    )
+    name = f"ttl_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(ST.counts_with_ttl(file_events(spark, tmp_events_dir)), name, tmp_path)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    expired = [(r.user_id, r.n_events) for r in rows if r.expired]
+    assert (1, 2) in expired  # user 1 evicted with their full count
+    assert all(uid != 99 for uid, _ in expired)  # active user stays live
