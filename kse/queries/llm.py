@@ -858,6 +858,38 @@ def q_llm_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_dedup_prefix",
+    oracle="""
+SELECT md5(substring(text, 1, 32)) AS prefix_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS first_doc
+FROM documents
+GROUP BY md5(substring(text, 1, 32))
+HAVING count(*) > 1
+""",
+    doc=(
+        "Shared-prefix (boilerplate) detection: documents opening with an "
+        "identical 32-char prefix form a group — the cheap screen for "
+        "template headers, scraped navigation chrome, and licence "
+        "preambles that near-dup similarity misses when the BODIES "
+        "differ. One hash-groupBy on the md5 of the prefix (fixed-width "
+        "key regardless of document length); in a curation pipeline the "
+        "flagged prefix is then stripped rather than the doc dropped. "
+        "Complements exact dedup (whole text) and MinHash (global "
+        "similarity) as the third dedup granularity."
+    ),
+)
+def q_llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    pfx = F.md5(F.substring("text", 1, 32))
+    return (
+        d.groupBy(pfx.alias("prefix_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
     "q_llm_feature_hash",
     oracle="""
 WITH tok AS (
