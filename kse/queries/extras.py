@@ -822,3 +822,54 @@ def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round((F.col("rev") - prev) / prev, 6).alias("rev_pct_change"),
     )
+
+
+_WINSORIZE_SPARK_SQL = """
+WITH bounds AS (
+  SELECT event_type,
+         percentile_disc(0.01) WITHIN GROUP (ORDER BY value) AS lo,
+         percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       CAST(sum(CAST(floor(greatest(least(value, hi), lo) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / CAST(1000000 AS DOUBLE) AS winsorized_sum
+FROM events e JOIN bounds USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register(
+    "q_agg_winsorize",
+    oracle="""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_disc(value, 0.01) AS lo,
+         quantile_disc(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       CAST(sum(CAST(floor(greatest(least(value, hi), lo) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS winsorized_sum
+FROM events e JOIN bounds USING (event_type)
+GROUP BY e.event_type
+""",
+    doc=(
+        "Winsorization — outlier clipping at per-group p1/p99 before "
+        "aggregation, the standard robust-metrics step: bounds come from "
+        "percentile_disc (ACTUAL stored values, so both engines clip at "
+        "bit-identical thresholds; interpolated percentiles would differ "
+        "in the last bits and poison the clipped sums), then the clipped "
+        "sum accumulates in exact scaled integers. Two passes over the "
+        "group: one tiny bounds aggregate broadcast back onto the fact "
+        "rows, one clipped aggregation."
+    ),
+)
+def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import sql_q
+
+    return sql_q(spark, sf_dir, _WINSORIZE_SPARK_SQL, ["events"])
