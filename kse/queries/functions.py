@@ -428,3 +428,30 @@ def q_fn_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("doc"),
     )
+
+
+@register(
+    "q_fn_binary",
+    oracle="""
+SELECT doc_id,
+       base64(encode(substring(text, 1, 16))) AS b64,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(bit_length(substring(text, 1, 8)) AS INT) AS n_bits
+FROM documents
+""",
+    doc=(
+        "Binary-type function surface: string→bytes encode, base64 "
+        "rendering (the wire format binary payloads ship in — the "
+        "multimodal columns' transport twin), and byte/bit lengths. "
+        "Map-only; byte semantics agree across engines on the UTF-8 "
+        "corpus."
+    ),
+)
+def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 16), "utf-8")).alias("b64"),
+        F.octet_length("text").alias("n_bytes"),
+        F.bit_length(F.substring("text", 1, 8)).alias("n_bits"),
+    )
