@@ -858,6 +858,53 @@ def q_llm_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_stopword_strip",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS n_docs FROM tok GROUP BY token
+),
+nd AS (SELECT count(*) AS total_docs FROM documents)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN n_docs <= 0.5 * total_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN n_docs <= 0.5 * total_docs THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS kept_ratio
+FROM tok JOIN df USING (token), nd
+GROUP BY doc_id
+""",
+    doc=(
+        "Corpus-driven stopword stripping: a token is 'stop' when it "
+        "appears in more than half of all documents — the DATA decides "
+        "the stopword list, no hand-curated lexicon, which is how "
+        "multilingual curation pipelines do it. Document frequencies are "
+        "one distinct-aggregate (the [token -> df] table is vocabulary-"
+        "sized, broadcast or bucketed at 100 TB exactly like the TF-IDF "
+        "df table), then each doc reports how much of it survives — the "
+        "kept ratio doubles as a boilerplate-ness signal."
+    ),
+)
+def q_llm_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    df_tbl = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("n_docs"))
+    nd = d.agg(F.count("*").alias("total_docs"))
+    kept = F.when(F.col("n_docs") <= 0.5 * F.col("total_docs"), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.round(F.sum(kept).cast("double") / F.count("*"), 6).alias("kept_ratio"),
+        )
+    )
+
+
+@register(
     "q_llm_dedup_prefix",
     oracle="""
 SELECT md5(substring(text, 1, 32)) AS prefix_hash,
