@@ -2023,6 +2023,61 @@ def q_llm_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_overlap_matrix",
+    oracle="""
+WITH w AS (
+  SELECT source, string_split(lower(text), ' ') AS ws FROM documents
+),
+g AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(generate_series(1, len(ws) - 4),
+                i -> array_to_string(ws[i:i+4], ' '))) AS gram
+  FROM w WHERE len(ws) >= 5
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY a.source, b.source
+""",
+    doc=(
+        "Cross-source contamination matrix: for every source pair, how "
+        "many distinct word-level 5-grams they share — the leakage map a "
+        "curation team reads before declaring train/eval splits by "
+        "source. Per-source gram sets are DISTINCTed first (map-side "
+        "collapse of the shingle blow-up), then pairs meet in an "
+        "equi-join keyed on the gram itself — per-gram fan-out is "
+        "bounded by the number of sources carrying it, never a "
+        "cross-join of corpora. Generalizes the one-vs-rest benchmark "
+        "decontamination query (q_llm_contamination) to all pairs."
+    ),
+)
+def q_llm_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("source", F.split(F.lower(F.col("text")), " ").alias("ws"))
+        .filter(F.size("ws") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 4),
+                    lambda i: F.concat_ws(" ", F.slice("ws", i, 5)),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    a = grams.select(F.col("source").alias("source_a"), "gram")
+    b = grams.select(F.col("source").alias("source_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+@register(
     "q_llm_contamination",
     oracle="""
 WITH w AS (
