@@ -296,3 +296,59 @@ def q_win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("seq").like("%click%view%purchase%").alias("converted"),
     )
+
+
+@register(
+    "q_win_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events
+),
+flagged AS (
+  SELECT user_id, day,
+         CASE WHEN day - lag(day) OVER (PARTITION BY user_id ORDER BY day) = 1
+              THEN 0 ELSE 1 END AS new_streak
+  FROM days
+),
+streaks AS (
+  SELECT user_id, day,
+         sum(new_streak) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS streak_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak_days,
+       CAST(count(DISTINCT streak_id) AS BIGINT) AS n_streaks
+FROM (SELECT user_id, streak_id, count(*) AS len
+      FROM streaks GROUP BY user_id, streak_id)
+GROUP BY user_id
+""",
+    doc=(
+        "Gaps-and-islands at day granularity: longest consecutive-day "
+        "activity streak per user (the engagement metric), via distinct "
+        "activity days → lag-based island flags → running island ids → "
+        "per-island lengths → per-user max. Every window partitions by "
+        "user_id, so on the bucketed events layout the whole chain is "
+        "Exchange-free like sessionize; day arithmetic is integer "
+        "epoch-days, exact in both engines."
+    ),
+)
+def q_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", (ts_us(F.col("ts")) / F.lit(86400000000)).cast("bigint").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = days.withColumn(
+        "new_streak",
+        F.when(F.col("day") - F.lag("day").over(w) == 1, 0).otherwise(1),
+    )
+    streaks = flagged.withColumn(
+        "streak_id",
+        F.sum("new_streak").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    lens = streaks.groupBy("user_id", "streak_id").agg(F.count("*").alias("len"))
+    return lens.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak_days"),
+        F.countDistinct("streak_id").cast("bigint").alias("n_streaks"),
+    )
