@@ -858,6 +858,45 @@ def q_llm_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_entropy",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+tot AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)) / ln(2), 6)
+         AS entropy_bits
+FROM tf JOIN tot USING (doc_id)
+GROUP BY doc_id, n
+""",
+    doc=(
+        "Token-distribution Shannon entropy per document (bits): low "
+        "entropy flags repetitive/templated text, implausibly high "
+        "entropy flags token soup — a standard two-sided quality gate "
+        "alongside the unigram log-prob score (that one scores tokens "
+        "against the CORPUS model; this one needs only the doc itself). "
+        "Per-doc term frequencies collapse map-side, the entropy sum "
+        "runs over the doc's own vocabulary — both shuffles key on "
+        "doc_id, embarrassingly parallel across documents."
+    ),
+)
+def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    tot = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        tf.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 6).alias("entropy_bits"))
+        .select("doc_id", F.col("n").cast("bigint").alias("n_tokens"), "entropy_bits")
+    )
+
+
+@register(
     "q_llm_stopword_strip",
     oracle="""
 WITH tok AS (
