@@ -873,3 +873,59 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kse.queries._util import sql_q
 
     return sql_q(spark, sf_dir, _WINSORIZE_SPARK_SQL, ["events"])
+
+
+@register(
+    "q_agg_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT r,
+         row_number() OVER (ORDER BY r DESC, o_custkey) AS rn,
+         sum(r) OVER (ORDER BY r DESC, o_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(r) OVER () AS tot
+  FROM rev
+)
+SELECT CAST(min(rn) AS BIGINT) AS n_top_customers,
+       CAST(max(tot) AS BIGINT) / 1000000.0 AS total_revenue,
+       CAST((SELECT count(*) FROM rev) AS BIGINT) AS n_customers
+FROM ranked WHERE cum >= 0.8 * tot
+""",
+    doc=(
+        "Pareto concentration: the smallest number of customers whose "
+        "revenue covers 80% of the total — the skew diagnostic behind "
+        "salting and tiering decisions, and a classic business metric. "
+        "The corpus-sized work is the per-customer revenue aggregation "
+        "(exact scaled-integer sums); the ordered cum-share window runs "
+        "over one row per CUSTOMER — the aggregated table, orders of "
+        "magnitude under the fact table it summarizes (same budget call "
+        "as the vocabulary and bucket-offset windows; at extreme "
+        "customer counts the distributed prefix sum applies)."
+    ),
+)
+def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1000000.0 + 0.5)).cast("bigint").alias("r")
+    )
+    w = Window.orderBy(F.col("r").desc(), F.col("o_custkey"))
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.sum("r").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.sum("r").over(Window.partitionBy()).alias("tot"),
+    )
+    n_cust = rev.agg(F.count("*").cast("bigint").alias("n_customers"))
+    return (
+        ranked.filter(F.col("cum") >= 0.8 * F.col("tot"))
+        .agg(
+            F.min("rn").cast("bigint").alias("n_top_customers"),
+            (F.max("tot").cast("bigint") / 1000000.0).alias("total_revenue"),
+        )
+        .crossJoin(F.broadcast(n_cust))
+    )
