@@ -929,3 +929,35 @@ def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_cust))
     )
+
+
+@register(
+    "q_join_mark",
+    oracle="""
+SELECT c_custkey,
+       (b.o_custkey IS NOT NULL) AS has_big_order
+FROM customer c LEFT JOIN
+     (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000) b
+  ON c.c_custkey = b.o_custkey
+""",
+    doc=(
+        "Mark join — EXISTS as a kept BOOLEAN column rather than a "
+        "filter: every customer row survives, annotated with whether a "
+        "qualifying order exists. Completes the existence-join family "
+        "(semi keeps matches, anti keeps non-matches, mark keeps "
+        "everything + the flag, which is what feature engineering "
+        "actually wants). The probe side DISTINCTs to one row per key "
+        "before the join, so the flag join never multiplies rows."
+    ),
+)
+def q_join_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    b = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+    )
+    return c.join(b, c.c_custkey == b.o_custkey, "left").select(
+        "c_custkey", F.col("o_custkey").isNotNull().alias("has_big_order")
+    )
