@@ -858,6 +858,45 @@ def q_llm_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_char_classes",
+    oracle="""
+SELECT doc_id,
+       round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+             / n_chars, 6) AS alpha_ratio,
+       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / n_chars, 6) AS digit_ratio,
+       round(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+             / n_chars, 6) AS space_ratio
+FROM documents
+""",
+    doc=(
+        "Character-class composition per document (alpha / digit / "
+        "whitespace ratios) — the cheapest corpus-quality screen there "
+        "is: code and tables skew digit-heavy, OCR junk skews "
+        "symbol-heavy, natural prose sits in a narrow alpha band. "
+        "Map-only regexp counting in whole-stage codegen; integer "
+        "character counts divide exactly, so the rounded ratios are "
+        "engine-identical."
+    ),
+)
+def q_llm_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+
+    def ratio(pattern: str, src) -> F.Column:
+        return F.round(
+            F.length(F.regexp_replace(src, pattern, "")).cast("double") / F.col("n_chars"),
+            6,
+        )
+
+    return d.select(
+        "doc_id",
+        ratio("[^a-z]", F.lower("text")).alias("alpha_ratio"),
+        ratio("[^0-9]", F.col("text")).alias("digit_ratio"),
+        ratio("[^ ]", F.col("text")).alias("space_ratio"),
+    )
+
+
+@register(
     "q_llm_entropy",
     oracle="""
 WITH tok AS (
