@@ -146,6 +146,7 @@ def main() -> None:
 
     stream_best = float("inf")
     n_events = 0
+    staged_dir = None  # degraded-mode symlink dir; removed in the finally
     try:
         from kse.catalog import table_path
         from kse.streaming.pipeline import run_offline
@@ -159,7 +160,8 @@ def main() -> None:
         else:
             # the raw driver table is a single FILE; the file-stream source
             # needs a directory, so stage a symlink to it in a temp dir
-            events_dir = tempfile.mkdtemp(prefix="kse-bench-events-")
+            staged_dir = tempfile.mkdtemp(prefix="kse-bench-events-")
+            events_dir = staged_dir
             os.symlink(
                 table_path(sf_dir, "events"),
                 os.path.join(events_dir, "part-00000.parquet"),
@@ -183,6 +185,9 @@ def main() -> None:
                 shutil.rmtree(workdir, ignore_errors=True)
     except Exception as exc:
         errors.setdefault("streaming", f"{type(exc).__name__}: {exc}"[:500])
+    finally:
+        if staged_dir is not None:
+            shutil.rmtree(staged_dir, ignore_errors=True)
     if stream_best == float("inf"):
         stream_best = -1.0
 

@@ -192,8 +192,15 @@ class JsonlWriter(DataSourceWriter):
             "files": sorted(m.filename for m in messages if m is not None),
             "rows": sum(m.n_rows for m in messages if m is not None),
         }
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+        # atomic publish: a crash mid-write must never leave a truncated
+        # manifest, so stage to a temp name and os.replace() into place
+        final = os.path.join(self.path, "_MANIFEST")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
 
     def abort(self, messages) -> None:
         import os

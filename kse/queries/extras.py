@@ -616,9 +616,7 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_ts_ewma",
-    oracle="""
+_EWMA_ORACLE = """
 WITH ordered AS (
   SELECT event_id, user_id, value, epoch_us(ts) AS t_us FROM events
 )
@@ -628,7 +626,70 @@ SELECT event_id, user_id,
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          (acc, v) -> 0.7 * acc + 0.3 * v) AS ewma
 FROM ordered
-""",
+"""
+
+
+@register(
+    "q_ts_ewma",
+    oracle=_EWMA_ORACLE,
+    doc=(
+        "Exponentially weighted moving average per user (alpha=0.3, seeded "
+        "by the first value), entirely JVM-side: collect each user's "
+        "ordered (t_us, event_id, value) sequence, then `aggregate(...)` — "
+        "Catalyst's LEFT FOLD higher-order function — appends "
+        "`0.7*last + 0.3*v` one element at a time, preserving the exact "
+        "sequential floating-point evaluation order of the recurrence, so "
+        "the raw doubles are BIT-EQUAL to the oracle's list_reduce fold "
+        "(which is why the output is deliberately not rounded). No Python "
+        "worker, no Arrow transfer: one shuffle to group, whole-stage-"
+        "codegen'd lambda, posexplode back to rows. The array build is "
+        "O(n) appends per user (per-user sequences are bounded; the group "
+        "state is the same per-key footprint applyInPandas needs anyway). "
+        "The applyInPandas twin below (q_ts_ewma_pandas) is kept as the "
+        "documented escape-hatch-tier image of the same fold — it is the "
+        "batch twin of the streaming EWMA in kse/streaming/state.py."
+    ),
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import ts_us
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", ts_us(F.col("ts")).alias("t_us"), "value"
+    )
+    grouped = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t_us", "event_id", "value"))).alias("seq")
+    )
+    folded = grouped.withColumn(
+        "ewmas",
+        F.expr(
+            """
+            aggregate(
+              seq,
+              array_repeat(cast(null as double), 0),
+              (out, x) -> array_append(
+                out,
+                if(size(out) = 0,
+                   x.value,
+                   0.7D * element_at(out, -1) + 0.3D * x.value)))
+            """
+        ),
+    )
+    return folded.select(
+        "user_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("transform(seq, x -> x.event_id)").alias("event_id"),
+                F.col("ewmas").alias("ewma"),
+            )
+        ).alias("z"),
+    ).select(
+        F.col("z.event_id").alias("event_id"), "user_id", F.col("z.ewma").alias("ewma")
+    )
+
+
+@register(
+    "q_ts_ewma_pandas",
+    oracle=_EWMA_ORACLE,
     doc=(
         "Exponentially weighted moving average per user (alpha=0.3, "
         "seeded by the first value) — the inherently SEQUENTIAL "
@@ -645,10 +706,12 @@ FROM ordered
         "anyway). Oracle: DuckDB's windowed list + list_reduce performs "
         "the identical left fold. At 100 TB: per-user sequences are "
         "bounded, groups parallelize across executors, and the same code "
-        "is the batch image of applyInPandasWithState's streaming EWMA."
+        "is the batch image of applyInPandasWithState's streaming EWMA. "
+        "Kept as the escape-hatch-tier twin of the JVM-side q_ts_ewma "
+        "above — same fold, same oracle, so the two must agree bit-for-bit."
     ),
 )
-def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ts_ewma_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kse.queries._util import ts_us
 
     e = t(spark, sf_dir, "events").select(

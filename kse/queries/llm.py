@@ -202,7 +202,8 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(20):  # bound >> diameter of any near-dup component
+    max_rounds = 10_000  # runaway backstop only; convergence is guaranteed
+    for rounds in range(1, max_rounds + 1):
         prop = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), "label"
         )
@@ -218,8 +219,10 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"min_label_components did not converge in {max_rounds} rounds"
+    )
 
 
 @register(
@@ -270,6 +273,110 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as distinct (u, v) with u > v, self-loops gone."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node links its STRICTLY-LARGER neighbors to
+    the minimum of its closed neighborhood. One symmetrize + groupBy-min +
+    equi-join — no sort, no window."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return _canonical_edges(
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node links its smaller-or-equal neighbors
+    (and itself) to the minimum of those. Same join shape as large-star."""
+    e = _canonical_edges(edges)  # oriented u > v
+    mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+    nbrs = e.join(mins, "u").select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    selfs = mins.select("u", F.col("mn").alias("v"))
+    return _canonical_edges(nbrs.union(selfs))
+
+
+def bigstar_components(pairs: DataFrame) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., 'Connected Components in MapReduce and Beyond',
+    SoCC'14): converges in O(log^2 n) rounds REGARDLESS of graph diameter —
+    the 100 TB-scale variant of min_label_components, whose round count is
+    the diameter. Each round is two groupBy-min + equi-joins; lineage is
+    truncated per round. At convergence the edge set is a forest of stars
+    centered at each component's minimum id; labels read straight off the
+    edges. Returns (node, label) like min_label_components."""
+    edges = _canonical_edges(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).localCheckpoint(eager=True)
+    max_rounds = 200  # >> log^2(n) for any conceivable n; backstop only
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(edges).union(edges.exceptAll(nxt)).limit(1).count()
+        )
+        edges = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"bigstar_components did not converge in {max_rounds} rounds")
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    centers = labels.select(F.col("label").alias("node"), F.col("label"))
+    return labels.union(centers).groupBy("node").agg(F.min("label").alias("label"))
+
+
+@register(
+    "q_llm_dedup_cluster_bigstar",
+    oracle=_MINHASH_ORACLE.replace("WITH tk", "WITH RECURSIVE tk", 1)
+    + """,
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cid FROM reach GROUP BY a
+)
+SELECT d.doc_id, CAST(coalesce(comp.cid, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp USING (doc_id)
+""",
+    doc=(
+        "Duplicate-cluster assignment, scale variant: same candidate graph "
+        "and same output contract as q_llm_dedup_cluster, but components "
+        "are computed with alternating large-star/small-star contraction "
+        "(bigstar_components above) — O(log^2 n) rounds independent of "
+        "component diameter, vs min-label propagation's O(diameter). This "
+        "is the variant you run at 100 TB where adversarial chain-shaped "
+        "duplicate clusters (serial near-identical crawls) make diameter "
+        "unbounded. Oracle: the same DuckDB recursive-CTE transitive "
+        "closure, so both variants are value-checked against recursive SQL."
+    ),
+)
+def q_llm_dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    labels = bigstar_components(minhash_candidate_pairs(d))
+    return (
+        d.select("doc_id")
+        .join(labels, d.doc_id == labels.node, "left")
+        .select("doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id"))
+    )
+
+
 @register(
     "q_llm_dedup_simhash",
     oracle="""
@@ -305,7 +412,11 @@ FROM contrib GROUP BY doc_id
     ),
 )
 def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    return _simhash_fingerprints(t(spark, sf_dir, "documents"))
+
+
+def _simhash_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — the 60-bit Charikar fingerprint, all JVM-side."""
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
@@ -336,6 +447,104 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("simhash")
         )
+    )
+
+
+_HAMMING_K = 3  # near-dup threshold; 4 segments of 15 bits (pigeonhole: k+1 segs)
+
+
+@register(
+    "q_llm_dedup_simhash_hamming",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, token, count(*) AS cnt, md5(token) AS th
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+contrib AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN
+               ((strpos('0123456789abcdef', th[CAST(b.bit // 4 AS INT) + 1]) - 1)
+                >> (b.bit % 4)) & 1 = 1
+             THEN cnt ELSE -cnt END) AS s
+  FROM tok, (SELECT unnest(range(60)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM contrib GROUP BY doc_id
+),
+seg AS (
+  SELECT doc_id, simhash, x.seg_idx,
+         (simhash >> CAST(x.seg_idx * 15 AS INT)) & 32767 AS seg_val
+  FROM fp, (SELECT unnest(range(4)) AS seg_idx) x
+),
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM seg a JOIN seg b
+    ON a.seg_idx = b.seg_idx AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+cnt AS (
+  SELECT doc_id, count(*) AS n_near
+  FROM (SELECT doc_a AS doc_id FROM prs UNION ALL SELECT doc_b FROM prs)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(cnt.n_near, 0) AS BIGINT) AS n_near
+FROM documents d LEFT JOIN cnt USING (doc_id)
+""",
+    doc=(
+        "SimHash near-dup detection WITHIN Hamming distance k=3 — the "
+        "at-scale grouping q_llm_dedup_simhash's docstring promises: split "
+        "the 60-bit fingerprint into 4 disjoint 15-bit segments; by "
+        "pigeonhole, any two fingerprints differing in <= 3 bits agree on "
+        "at least one whole segment, so the candidate join is an EQUI-join "
+        "on (segment_index, segment_value) — never an all-pairs scan — "
+        "followed by an exact bit_count(xor) verify. That is exactly "
+        "Manku/Jain/Sarma's WWW'07 web-dedup construction. Output: one row "
+        "per doc with its near-dup count (0 for unique docs), so the "
+        "result is non-empty at every sf. At 100 TB each segment bucket "
+        "holds only fingerprint-colliding docs, so the verify stays "
+        "bounded; the oracle recomputes fingerprints, segments and pairs "
+        "bit-for-bit in DuckDB."
+    ),
+)
+def q_llm_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    fp = _simhash_fingerprints(d)
+    seg = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), s -> shiftright(simhash, s * 15) & 32767)")
+        ).alias("seg_idx", "seg_val"),
+    )
+    a, b = seg.alias("a"), seg.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.expr("bit_count(a.simhash ^ b.simhash)") <= F.lit(_HAMMING_K)
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cnt = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_near"))
+    )
+    return (
+        d.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select("doc_id", F.coalesce("n_near", F.lit(0)).alias("n_near"))
     )
 
 

@@ -19,6 +19,23 @@ PROFILE_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_type
 _STATE_SCHEMA = "n bigint, total double, last string"
 
 
+def _whole_group(pdfs: Iterable[pd.DataFrame]) -> pd.DataFrame:
+    """Materialize a key's micro-batch as ONE event-time-ordered frame.
+
+    A group's rows within a micro-batch can arrive split across multiple
+    Arrow chunks (``spark.sql.execution.arrow.maxRecordsPerBatch``) in
+    arbitrary chunk order, so sorting each chunk independently does NOT give
+    event-time order across the batch. Memory is already bounded by the
+    micro-batch, so concatenating before the fold is safe and restores the
+    ordering guarantee the folds below rely on.
+    """
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        return pd.DataFrame(columns=["ts", "event_id", "user_id", "event_type", "value"])
+    whole = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+    return whole.sort_values(["ts", "event_id"])
+
+
 def _update_profile(
     key: tuple[Any, ...],
     pdfs: Iterable[pd.DataFrame],
@@ -30,12 +47,11 @@ def _update_profile(
     'user state table' the reference's ES index effectively materializes.
     """
     n, total, last = state.get if state.exists else (0, 0.0, None)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        if len(pdf):
-            last = str(pdf["event_type"].iloc[-1])
+    pdf = _whole_group(pdfs)
+    n += len(pdf)
+    total += float(pdf["value"].sum())
+    if len(pdf):
+        last = str(pdf["event_type"].iloc[-1])
     state.update((n, total, last))
     yield pd.DataFrame(
         {
@@ -78,11 +94,9 @@ def _update_funnel(
     the streaming twin of the batch q_win_funnel: both report whether the
     ordered subsequence has been completed."""
     (stage,) = state.get if state.exists else (0,)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for etype in pdf["event_type"]:
-            if stage < len(_FUNNEL_STEPS) and etype == _FUNNEL_STEPS[stage]:
-                stage += 1
+    for etype in _whole_group(pdfs)["event_type"]:
+        if stage < len(_FUNNEL_STEPS) and etype == _FUNNEL_STEPS[stage]:
+            stage += 1
     state.update((stage,))
     yield pd.DataFrame(
         {
@@ -121,11 +135,9 @@ def _update_ewma(
     arithmetic as the batch op and its oracle, so all three agree
     bit-for-bit on ordered input."""
     n, acc = state.get if state.exists else (0, None)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for v in pdf["value"]:
-            acc = v if acc is None else (1 - _EWMA_ALPHA) * acc + _EWMA_ALPHA * v
-            n += 1
+    for v in _whole_group(pdfs)["value"]:
+        acc = v if acc is None else (1 - _EWMA_ALPHA) * acc + _EWMA_ALPHA * v
+        n += 1
     state.update((n, acc))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [acc]})
 
@@ -210,12 +222,11 @@ class ProfileProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         n, total, last = self._state.get() if self._state.exists() else (0, 0.0, None)
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-            if len(pdf):
-                last = str(pdf["event_type"].iloc[-1])
+        pdf = _whole_group(rows)
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last = str(pdf["event_type"].iloc[-1])
         self._state.update((n, total, last))
         yield pd.DataFrame(
             {

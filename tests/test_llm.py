@@ -321,6 +321,66 @@ def test_editdist_finds_planted_unequal_length_neardups(spark, tmp_path):
     catalog._RELATION_CACHE.pop((id(spark), str(sf_dir), "documents"), None)
 
 
+def test_simhash_hamming_finds_planted_near_dups(spark, tmp_path):
+    """Pigeonhole 4-segment bucketing must find pairs within Hamming
+    distance 3 — an identical pair (distance 0) and a planted variant whose
+    distance is chosen 1..3 BY CONSTRUCTION (the test replicates the
+    fingerprint in pure Python and searches for a qualifying variant) —
+    while a far document stays unmatched and candidates come from an
+    equi-join, never a cartesian product."""
+    import hashlib
+    from collections import Counter
+
+    from kse.queries.llm import q_llm_dedup_simhash_hamming
+
+    def simhash(text: str) -> int:
+        s = [0] * 60
+        for tok, c in Counter(text.split(" ")).items():
+            th = hashlib.md5(tok.encode()).hexdigest()
+            for i in range(60):
+                bit = (int(th[i // 4], 16) >> (i % 4)) & 1
+                s[i] += c if bit else -c
+        return sum(1 << i for i in range(60) if s[i] > 0)
+
+    base = " ".join(f"tok{j}" for j in range(40))
+    h0 = simhash(base)
+    variant = None
+    for j in range(2000):
+        cand = base + f" extra{j}"
+        if 1 <= bin(h0 ^ simhash(cand)).count("1") <= 3:
+            variant = cand
+            break
+    assert variant is not None, "no 1..3-distance variant found in search space"
+    far = " ".join(f"other{j}" for j in range(40))
+    assert bin(h0 ^ simhash(far)).count("1") > 3
+
+    import pandas as pd
+
+    texts = [base, base, variant, far]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["src0"] * 4,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf_dir = tmp_path / "planted_simhash_sf"
+    sf_dir.mkdir()
+    pdf.to_parquet(sf_dir / "documents.parquet", index=False)
+
+    res = q_llm_dedup_simhash_hamming(spark, str(sf_dir))
+    got = {r.doc_id: r.n_near for r in res.collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 0}
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    from kse import catalog
+
+    catalog._RELATION_CACHE.pop((id(spark), str(sf_dir), "documents"), None)
+
+
 def test_min_label_components_multi_hop_chain(spark):
     """Transitivity: a chain 1-2, 2-3, plus a separate pair 7-8 and an
     out-of-order edge (9,4) must collapse to min-id components even though
@@ -332,6 +392,36 @@ def test_min_label_components_multi_hop_chain(spark):
     )
     labels = {r.node: r.label for r in min_label_components(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 4: 4, 9: 4, 5: 4}
+
+
+def test_components_long_chain_diameter_beyond_old_cap(spark):
+    """A planted path graph of diameter 60 (previously FAILED under the old
+    20-round min-label cap, which silently emitted unconverged labels).
+    min_label_components must now iterate to convergence, and the
+    large-star/small-star variant must agree while needing only
+    O(log^2 n) rounds by construction."""
+    from kse.queries.llm import bigstar_components, min_label_components
+
+    chain = [(i, i + 1) for i in range(1, 61)]  # path 1-2-...-61, diameter 60
+    pairs = spark.createDataFrame(chain + [(100, 101)], ["doc_a", "doc_b"])
+    expect = {n: 1 for n in range(1, 62)} | {100: 100, 101: 100}
+    got_min = {r.node: r.label for r in min_label_components(pairs).collect()}
+    assert got_min == expect
+    got_star = {r.node: r.label for r in bigstar_components(pairs).collect()}
+    assert got_star == expect
+
+
+def test_bigstar_components_matches_min_label_on_random_graph(spark):
+    """Property: both component algorithms produce identical labelings on a
+    deterministic pseudo-random edge set (hash-derived, no RNG)."""
+    from kse.queries.llm import bigstar_components, min_label_components
+
+    edges = [((i * 7919) % 97 + 1, (i * 6277) % 97 + 1) for i in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got_min = {r.node: r.label for r in min_label_components(pairs).collect()}
+    got_star = {r.node: r.label for r in bigstar_components(pairs).collect()}
+    assert got_star == got_min
 
 
 def test_dedup_cluster_groups_planted_duplicates(spark):
