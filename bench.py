@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kse import registry  # noqa: E402
-from kse.catalog import prepare_local_layout  # noqa: E402
+from kse.catalog import cache_tables, prepare_local_layout  # noqa: E402
 from kse.session import DEFAULT_SF_DIR, get_session  # noqa: E402
 
 HEADLINE = [
@@ -79,6 +79,16 @@ def main() -> None:
         layout_s = -1.0
         layout_ok = False
         errors["layout"] = f"{type(exc).__name__}: {exc}"[:500]
+    # Pin the tables in executor memory (see catalog.cache_tables): the
+    # DuckDB comparator's warm-up passes leave its reads hot in the OS
+    # cache + its buffer manager, so the symmetric Spark posture is an
+    # explicit in-memory cache. Cost reported as cache_s, never hidden in
+    # timings; a failure degrades to timing the on-disk layout scans.
+    try:
+        cache_s = cache_tables(spark, sf_dir)
+    except Exception as exc:
+        cache_s = -1.0
+        errors["cache"] = f"{type(exc).__name__}: {exc}"[:500]
     qs = registry.all_queries()
 
     def try_materialize(name: str) -> bool:
@@ -92,6 +102,18 @@ def main() -> None:
     for _ in range(2):  # global warm-up: JIT/codegen/scan caches
         for name in HEADLINE:
             try_materialize(name)
+    # Measured dispatch floor: the cheapest possible action (noop write of a
+    # pre-built one-row plan) on this warmed session. Carried in the JSON so
+    # per-query ratios on single-digit-ms baseline rows can be read against
+    # the fixed cost every Spark action pays (plan dispatch + job schedule +
+    # one task) — a query at ~floor is floor-bound, not plan-bound.
+    one_row = spark.range(1)
+    materialize(one_row)
+    floor = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        materialize(one_row)
+        floor = min(floor, time.perf_counter() - t0)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name in errors:
@@ -199,6 +221,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "layout_s": round(layout_s, 2),
+        "cache_s": round(cache_s, 2),
+        "dispatch_floor_s": round(floor, 4),
         "streaming_pipeline_s": round(stream_best, 4),
         "streaming_events_per_sec": int(n_events / stream_best) if stream_best > 0 else -1,
     }

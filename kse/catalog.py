@@ -240,6 +240,55 @@ def prepare_local_layout(spark: SparkSession, sf_dir: str, dest: str) -> float:
     return time.perf_counter() - t0
 
 
+# Partition targets for pinned tables (cache_tables): fixed-size dims
+# collapse to one in-memory partition (their scan + exchange scheduling
+# otherwise costs more than the data), CPU-bound scans (JSON parse, text
+# explode) keep enough splits to use the cores. Local-tier knob only — at
+# cluster scale you pin dims and hot partitions, never whole fact tables,
+# and partition counts come from the layout, not this map.
+_CACHE_PARTS = {
+    "region": 1,
+    "nation": 1,
+    "supplier": 1,
+    "part": 2,
+    "customer": 2,
+    "documents": 2,
+    "embeddings": 1,
+    "orders": 4,
+    "lineitem": 8,
+    "events": 8,
+}
+
+
+def cache_tables(spark: SparkSession, sf_dir: str) -> float:
+    """Pin every table in executor memory (deserialized columnar) and route
+    subsequent :func:`load` calls through the pinned relations.
+
+    This is the warm-buffer-pool posture the DuckDB comparator already
+    enjoys (its warm-up passes leave the parquet pages in the OS cache and
+    its own buffer manager): Spark's equivalent is an explicit ``.cache()``,
+    which also lets Catalyst substitute InMemoryRelation into any plan that
+    scans the same files. Coalescing first cuts per-task scheduling cost
+    (~2-5 ms/task locally) for tables whose data is smaller than the
+    overhead of scanning them in parallel. Bench-only: correctness paths
+    never call this. Returns seconds spent materializing the caches."""
+    import time
+
+    t0 = time.perf_counter()
+    for name in TABLES:
+        df = load(spark, sf_dir, name)
+        n = _CACHE_PARTS.get(name)
+        if n is not None and df.rdd.getNumPartitions() > n:
+            df = df.coalesce(n)
+        df = df.cache()
+        df.count()
+        _RELATION_CACHE[(id(spark), sf_dir, name)] = df
+    from kse import registry
+
+    registry.invalidate_plans(sf_dir, spark)
+    return time.perf_counter() - t0
+
+
 def _normalize_session(spark: SparkSession) -> None:
     """Set the runtime confs every query path depends on, once per session.
 

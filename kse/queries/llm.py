@@ -40,18 +40,25 @@ FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """,
     doc=(
-        "Exact dedup: keep the lowest doc_id per distinct text. One hash "
-        "shuffle on the text (in production: on xxhash64(text) so 100 KB "
-        "documents shuffle as 8-byte keys + a residual equality check). "
+        "Exact dedup: keep the lowest doc_id per distinct text, as a hash "
+        "aggregate (min + min_by per text) rather than a window — the "
+        "partial aggregate collapses duplicates MAP-SIDE, so a 30%-dup "
+        "corpus shuffles 30% fewer rows and no per-group sort runs; a "
+        "row_number window would shuffle every row then sort each group. "
+        "In production the grouping key is xxhash64(text) so 100 KB "
+        "documents shuffle as 8-byte keys + a residual equality check. "
         "sf0.1 contains 8 duplicate pairs (FIXTURES.md) which this removes."
     ),
 )
 def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+        )
         .select("doc_id", "lang", "n_chars")
     )
 

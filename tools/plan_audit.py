@@ -69,7 +69,7 @@ REQUIRED = {
         ("top-20 via TakeOrdered", r"TakeOrderedAndProject"),
     ],
     "q_llm_dedup_exact": [
-        ("first-doc-per-text via WindowGroupLimit", r"WindowGroupLimit"),
+        ("duplicates collapse map-side before the text shuffle", r"partial_min"),
     ],
     "q_join_theta_banded": [
         ("band predicate compiles to an equi-join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),

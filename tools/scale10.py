@@ -37,12 +37,14 @@ HEADLINE = [
 ]
 
 # Scale-safe rewrites measured separately: their value is the plan shape
-# (distributed prefix sum, banded equi-join, window-dedup composite), so
-# the 10x run is the evidence the rewrite actually scales. MinHash/edit-
-# distance dedup are deliberately absent: the 16-word synthetic vocabulary
-# makes near-dup candidate counts wildly unrealistic (every doc shingles
-# into the same few thousand shingles), which would measure the generator,
-# not the operator.
+# (distributed prefix sum, banded equi-join, window-dedup composite, LSH
+# candidate generation), so the 10x run is the evidence the rewrite
+# actually scales. The near-dup family runs against the Zipfian generator
+# below (a 30k-surface-form vocabulary with planted near-duplicate pairs);
+# candidate counts and planted-pair recall are asserted after timing —
+# a bounded candidate set is the property that keeps LSH dedup O(n) at
+# 100 TB, so the run fails loudly if a generator or operator change
+# reintroduces quadratic candidates.
 SCALE_OPS = [
     "q_llm_shard_assign",
     "q_join_theta_banded",
@@ -50,12 +52,41 @@ SCALE_OPS = [
     "q_win_sessionize",
     "q_ts_zscore",
     "q_ts_ewma",
+    "q_llm_dedup_minhash",
+    "q_llm_dedup_cluster",
+    "q_llm_dedup_cluster_bigstar",
+    "q_llm_dedup_simhash",
+    "q_llm_dedup_ngram_jaccard",
+    # q_llm_dedup_editdist stays at the sf0.1 tier: length-banding blocks
+    # O(n²) only when lengths cluster; on this corpus's uniform 100-600
+    # char spread, 50k docs put ~1.6k docs per 16-char band, i.e. ~10⁸
+    # thresholded levenshtein calls (and DuckDB's levenshtein has no
+    # threshold arg, so the oracle pays full-DP). The honest 100 TB path
+    # for edit-distance dedup is LSH/minhash candidate generation FIRST,
+    # then editdist verification on those candidates — which is exactly
+    # what q_llm_dedup_ngram_jaccard measures above.
 ]
 
-WORDS = [
-    "the", "of", "data", "stream", "event", "model", "spark", "query",
-    "join", "window", "state", "index", "shard", "batch", "token", "vector",
-]
+# Documents vocabulary: ranks sampled log-uniformly over 30k surface forms
+# (P(rank r) ∝ 1/r — Zipf s≈1, the empirical shape of natural-language
+# token frequency). The previous 16-word uniform vocab made every doc an
+# LSH candidate of every other, so a dedup timing measured the generator's
+# degeneracy, not the operator (DESIGN.md's round-2 exclusion). 2% of docs
+# (id % 50 == 1) are planted near-duplicates of their predecessor: same
+# word sequence with ~4% of positions resampled, landing shingle-Jaccard
+# around 0.8-0.9 — inside MinHash's 4x4 banding sweet spot.
+_VOCAB = 30_000
+_DUP_EVERY = 50  # id % 50 == 1 -> near-dup of id-1
+_MUT_ONE_IN = 40  # per-position resample probability for planted dups
+# (1/40 per token -> 3-shingle survival 0.975^3 ≈ 0.93 -> Jaccard ≈ 0.86
+#  -> 4x4-band hit probability ≈ 0.96, comfortably above the recall gate)
+
+
+def _zipf_word(base, i, seed: int):
+    u = F.pmod(F.xxhash64(base, i, F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
+    return F.concat(
+        F.lit("w"), F.floor(F.pow(F.lit(float(_VOCAB)), u)).cast("long")
+    )
 
 
 def synthesize(spark, dest: str, mult: int) -> None:
@@ -161,14 +192,19 @@ def synthesize(spark, dest: str, mult: int) -> None:
         F.concat(F.lit('{"k": '), F.pmod(F.xxhash64("id", F.lit(17)), F.lit(100)), F.lit("}")).alias("props"),
     )
     w(ev, "events", 8 * max(1, mult // 2))
-    word_arr = F.array(*[F.lit(x) for x in WORDS])
+    is_dup = (F.col("id") % _DUP_EVERY == 1) & (F.col("id") > 0)
+    base = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
     docs = spark.range(n_doc).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
             " ",
             F.transform(
-                F.sequence(F.lit(1), (F.pmod(F.xxhash64("id", F.lit(18)), F.lit(80)) + 20).cast("int")),
-                lambda i: F.element_at(word_arr, (F.pmod(F.xxhash64(F.col("id"), i), F.lit(16)) + 1).cast("int")),
+                F.sequence(F.lit(1), (F.pmod(F.xxhash64(base, F.lit(18)), F.lit(80)) + 20).cast("int")),
+                lambda i: F.when(
+                    is_dup
+                    & (F.pmod(F.xxhash64(F.col("id"), i, F.lit(999)), F.lit(_MUT_ONE_IN)) == 0),
+                    _zipf_word(F.col("id"), i, 777),
+                ).otherwise(_zipf_word(base, i, 18)),
             ),
         ).alias("text"),
         F.element_at(
@@ -286,6 +322,28 @@ def main() -> None:
         f"| HEADLINE TOTAL | {h_spark*1000:.0f} ms | "
         f"{h_duck*1000:.0f} ms | {h_spark/max(h_duck,1e-9):.2f}x |"
     )
+
+    # LSH-dedup scale evidence: the candidate set must stay O(n) and the
+    # planted near-dup pairs must actually be found. Loud failure beats a
+    # quietly-quadratic rerun.
+    from kse.queries.llm import minhash_candidate_pairs
+
+    d = catalog.load(spark, dest, "documents")
+    n_docs = d.count()
+    cand = minhash_candidate_pairs(d).cache()
+    n_cand = cand.count()
+    planted = (
+        spark.range(n_docs)
+        .filter((F.col("id") % _DUP_EVERY == 1) & (F.col("id") > 0))
+        .select((F.col("id") - 1).alias("doc_a"), F.col("id").alias("doc_b"))
+    )
+    n_planted = planted.count()
+    n_found = planted.join(cand, ["doc_a", "doc_b"]).count()
+    cand.unpersist()
+    print(f"# minhash candidates: {n_cand} ({n_cand / n_docs:.2f}/doc; bound 20/doc)")
+    print(f"# planted near-dup recall: {n_found}/{n_planted}")
+    assert n_cand < 20 * n_docs, "candidate blow-up: LSH no longer O(n) on this corpus"
+    assert n_found >= 0.85 * n_planted, "LSH recall collapsed on planted near-dups"
 
 
 if __name__ == "__main__":
