@@ -1024,3 +1024,146 @@ def q_join_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(b, c.c_custkey == b.o_custkey, "left").select(
         "c_custkey", F.col("o_custkey").isNotNull().alias("has_big_order")
     )
+
+
+@register(
+    "q_join_bloom_prune",
+    oracle="""
+SELECT s.s_suppkey, count(*) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_acctbal > 9000
+GROUP BY s.s_suppkey
+""",
+    doc=(
+        "Bloom-style semi-join pruning, expressed in DataFrame ops: the "
+        "selective dim subset (~9% of suppliers) projects to DISTINCT "
+        "hash buckets (xxhash64 mod 2^20 — a one-hash Bloom filter whose "
+        "false-positive rate is |keys|/2^20), broadcast, and the fact "
+        "side is pruned by a broadcast hash join on the bucket BEFORE "
+        "the exact join runs on the survivors. False positives cost only "
+        "a wasted probe in the residual join; the result is exact, which "
+        "is why the oracle is the plain join. At 100 TB this is the "
+        "pattern that cuts a fact-side shuffle by the dim's selectivity "
+        "(Spark's runtime bloom filter — "
+        "spark.sql.optimizer.runtime.bloomFilter.enabled — injects the "
+        "same shape automatically for shuffle joins; writing it "
+        "explicitly keeps the prune when the planner's size heuristics "
+        "miss, and documents the intent)."
+    ),
+)
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    sel = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey")
+    )
+    m = 1 << 20
+    buckets = sel.select(F.pmod(F.xxhash64("s_suppkey"), F.lit(m)).alias("hb")).distinct()
+    pruned = li.withColumn(
+        "hb", F.pmod(F.xxhash64("l_suppkey"), F.lit(m))
+    ).join(F.broadcast(buckets), "hb")
+    return (
+        pruned.join(F.broadcast(sel), pruned.l_suppkey == sel.s_suppkey)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice"), "sum_price"),
+        )
+    )
+
+
+# Engine-managed partitioned twin of the events table, written once per
+# (session, sf_dir) under /tmp: the local image of an ingest that lands
+# facts hive-partitioned on a low-cardinality predicate column. Guarded by
+# _SUCCESS so concurrent sessions/reruns reuse the same files.
+_PPART_DIRS: dict[tuple[int, str], str] = {}
+
+
+def _events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    key = (id(spark), sf_dir)
+    dest = _PPART_DIRS.get(key)
+    if dest is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        dest = f"/tmp/kse-ppart-{tag}"
+        if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+            t(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+                "event_type"
+            ).parquet(dest)
+        _PPART_DIRS[key] = dest
+    return spark.read.parquet(dest)
+
+
+@register(
+    "q_scan_partition_prune",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+    doc=(
+        "Partition pruning: events are rewritten once (engine-managed, "
+        "/tmp) hive-partitioned on event_type, and the filter "
+        "event_type = 'purchase' prunes to ONE of five partition "
+        "directories at PLANNING time — the scan's PartitionFilters "
+        "line, asserted by the plan audit, means 80% of the data is "
+        "never opened. This is the single biggest lever at 100 TB "
+        "(partition-prune > row-group-skip > filter-pushdown, in that "
+        "order of payoff); the oracle reads the raw unpartitioned file "
+        "to prove the rewrite changes layout, not results."
+    ),
+)
+def q_scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_partitioned(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+@register(
+    "q_ts_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+)
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort,
+       CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+""",
+    doc=(
+        "Cohort retention — the product-analytics staple: cohort = each "
+        "user's first-activity day, then distinct active users per "
+        "(cohort, day-offset) cell. Two shuffles, both on user_id: the "
+        "first-day aggregate and the enrich join are co-partitioned, so "
+        "Catalyst reuses one Exchange for both (and at 100 TB a "
+        "user_id-bucketed events table makes both shuffle-free — the "
+        "same layout argument as sessionize/funnel). The distinct-count "
+        "collapses map-side per (cohort, offset, user) before the final "
+        "shuffle."
+    ),
+)
+def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    return (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort"),
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -2418,3 +2418,43 @@ def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
+
+
+@register(
+    "q_llm_mixture_sample",
+    oracle="""
+WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+mn AS (SELECT min(n_lang) AS n_min FROM counts)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN counts USING (lang) CROSS JOIN mn
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000000 * n_lang
+      < n_min * 1000000
+""",
+    doc=(
+        "Dataset-mixture balancing — downsample every language to the "
+        "minority language's share (documents are ~44% en; training "
+        "mixtures want controlled proportions). Acceptance is a pure "
+        "integer predicate per row: md5(doc_id)-bucket * n_lang < n_min "
+        "* 1e6 — deterministic across engines, runs, and repartitioning "
+        "(the same doc always lands in the same split), with NO float "
+        "rate computation to diverge. The per-language counts are a "
+        "5-row broadcast; the filter evaluates map-side, so at 100 TB "
+        "this is one tiny agg + one streaming pass. Generalizes to "
+        "arbitrary target weights by replacing n_min with a per-group "
+        "target table."
+    ),
+)
+def q_llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    mn = counts.agg(F.min("n_lang").alias("n_min"))
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    ) % 1000000
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(mn))
+        .filter(bucket * F.col("n_lang") < F.col("n_min") * 1000000)
+        .select("doc_id", "lang")
+    )

@@ -81,6 +81,19 @@ REQUIRED = {
         ("dedup via WindowGroupLimit", r"WindowGroupLimit"),
         ("yield report partially aggregated map-side", r"partial_(count|sum|avg)"),
     ],
+    "q_scan_partition_prune": [
+        ("event_type filter prunes at planning time", r"PartitionFilters: \[[^\]]*event_type"),
+    ],
+    "q_join_bloom_prune": [
+        ("bucket prefilter + residual join both broadcast", r"BroadcastHashJoin[\s\S]*BroadcastHashJoin"),
+        ("fact-side agg partially aggregated map-side", r"partial_(count|sum)"),
+    ],
+    "q_ts_retention": [
+        ("distinct-users collapse before the final shuffle", r"partial_count\(distinct"),
+    ],
+    "q_llm_mixture_sample": [
+        ("per-language counts broadcast, filter map-side", r"BroadcastHashJoin"),
+    ],
 }
 
 # query -> [(property label, regex that must NOT match the executed plan)]
