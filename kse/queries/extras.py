@@ -1167,3 +1167,53 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "q_join_skew_salted",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    doc=(
+        "Salted large-x-large join — the static answer to a hot key: the "
+        "probe side appends a deterministic salt (xxhash64 of the full "
+        "line identity mod R=8) so one order key's rows spread across R "
+        "reducers, and the build side replicates each row R ways "
+        "(explode over 0..R-1) so every (key, salt) pair still meets. "
+        "Join keys become (orderkey, salt): a single pathological key "
+        "that would pin one task now costs R tasks ~1/R the work each, "
+        "for an R-times build-side replication — the right trade when "
+        "the build side is the smaller fact. Result is exactly the "
+        "plain join (oracle proves it). AQE's skew-join split "
+        "(spark.sql.adaptive.skewJoin.enabled, on in the production "
+        "session) does this at runtime from observed partition sizes; "
+        "explicit salting remains the tool for extreme single-key skew "
+        "on engines or stages AQE can't reach."
+    ),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    r_salt = 8
+    salted = li.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"), F.lit(r_salt)),
+    )
+    replicated = o.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(r_salt - 1)))
+    )
+    return (
+        salted.join(
+            replicated,
+            (salted.l_orderkey == replicated.o_orderkey)
+            & (salted.salt == replicated.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice"), "sum_price"),
+        )
+    )

@@ -94,6 +94,9 @@ REQUIRED = {
     "q_llm_mixture_sample": [
         ("per-language counts broadcast, filter map-side", r"BroadcastHashJoin"),
     ],
+    "q_join_skew_salted": [
+        ("join keys carry the salt", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*salt"),
+    ],
 }
 
 # query -> [(property label, regex that must NOT match the executed plan)]
