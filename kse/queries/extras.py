@@ -1217,3 +1217,58 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice"), "sum_price"),
         )
     )
+
+
+@register(
+    "q_sql_merge",
+    oracle="""
+WITH upd AS (
+  SELECT c_custkey, c_acctbal + 1000.0 AS new_bal
+  FROM customer WHERE c_custkey % 97 = 0
+),
+ins AS (
+  SELECT 10000000 + c_custkey AS c_custkey, c_acctbal AS new_bal
+  FROM customer WHERE c_custkey % 499 = 0
+),
+chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT COALESCE(b.c_custkey, chg.c_custkey) AS c_custkey,
+       COALESCE(chg.new_bal, b.c_acctbal) AS c_acctbal,
+       CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+            WHEN chg.c_custkey IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS merge_action
+FROM customer b FULL OUTER JOIN chg ON b.c_custkey = chg.c_custkey
+""",
+    doc=(
+        "MERGE / upsert (CDC-apply) semantics composed from a full outer "
+        "join: a change set (updates keyed to existing rows + inserts "
+        "with fresh keys, both derived deterministically from the base "
+        "table so the oracle recomputes them) merges into the base with "
+        "matched rows updated, unmatched-source rows inserted, and "
+        "unmatched-target rows kept, each tagged with its merge action. "
+        "This is the exact row-level contract of SQL MERGE INTO (which "
+        "Spark reserves for v2/Delta-style tables — plain parquet gets "
+        "this join form, and Delta's own MERGE lowers to the same "
+        "shape). At 100 TB the join shuffles on the merge key; a "
+        "key-bucketed base table makes the apply shuffle-free on the "
+        "base side, which is how incremental CDC pipelines stay cheap."
+    ),
+)
+def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    upd = c.filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 1000.0).alias("new_bal")
+    )
+    ins = c.filter(F.col("c_custkey") % 499 == 0).select(
+        (F.lit(10000000) + F.col("c_custkey")).alias("c_custkey"),
+        F.col("c_acctbal").alias("new_bal"),
+    )
+    chg = upd.unionByName(ins)
+    b, g = c.alias("b"), chg.alias("chg")
+    return b.join(g, F.col("b.c_custkey") == F.col("chg.c_custkey"), "full_outer").select(
+        F.coalesce(F.col("b.c_custkey"), F.col("chg.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("chg.new_bal"), F.col("b.c_acctbal")).alias("c_acctbal"),
+        F.when(F.col("b.c_custkey").isNull(), "inserted")
+        .when(F.col("chg.c_custkey").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
