@@ -72,49 +72,60 @@ def _shingle() -> F.Column:
 _NUM_HASHES = 16
 _BAND_ROWS = 4  # 4 bands x 4 rows; P(candidate) = 1-(1-j^4)^4 — steep at j≈0.8
 
+# Per-seed universal-hash multipliers, derived from md5 so any engine can
+# recompute them: a_s / b_s = first 7 hex chars of md5('a'+s) / md5('b'+s)
+# as integers (< 2^28). The per-shingle hash is then
+#     h(s, seed) = a_seed * hi + b_seed * lo + seed
+# over the 60-bit shingle value v = first 15 hex chars of md5(shingle),
+# split as hi = v >> 30, lo = v & (2^30 - 1). Everything stays < 2^59, so
+# 64-bit arithmetic is overflow-free on engines that wrap (Spark) AND on
+# engines that raise (DuckDB). One md5 per SHINGLE instead of one per
+# (shingle, seed): 16x fewer digests for the same independence-per-seed
+# structure (a 2-universal mix of two 30-bit halves).
+import hashlib as _hashlib
 
-def _minhash_sigs(d: DataFrame) -> DataFrame:
-    """(doc_id, seed, minhash) — one row per doc per hash function.
-
-    Shingle → explode → md5(seed || ':' || shingle) → lexicographic min per
-    (doc, seed). All JVM-side; the explode is the only data blow-up
-    (n_tokens × NUM_HASHES) and collapses in the map-side partial min.
-    md5 (not xxhash64) so the whole pipeline is reproducible in any engine
-    — the DuckDB oracle recomputes identical signatures; at 100 TB swap in
-    xxhash64 for ~3x cheaper hashing when cross-engine parity isn't needed."""
-    sh = d.select("doc_id", F.explode(_shingle()).alias("shingle"))
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed").cast("string"), "shingle")).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+_MH_A = [int(_hashlib.md5(f"a{s}".encode()).hexdigest()[:7], 16) for s in range(_NUM_HASHES)]
+_MH_B = [int(_hashlib.md5(f"b{s}".encode()).hexdigest()[:7], 16) for s in range(_NUM_HASHES)]
 
 
 def minhash_candidate_pairs(d: DataFrame) -> DataFrame:
-    """LSH banding: band signature = md5 of the band's minhashes in seed
-    order; docs sharing any (band, signature) bucket become candidate
-    pairs (doc_a < doc_b). The pair join is an equi-join on the bucket —
-    the scale-critical property (no cross join)."""
-    sigs = _minhash_sigs(d)
+    """LSH banding, MAP-ONLY up to the bucket join: per doc, one pass
+    computes the 60-bit shingle values, 16 minhashes (an aggregate() fold
+    per seed with literal multipliers — no shingle explode, no
+    (doc, seed) shuffle), and the 4 band signatures (md5 of each band's
+    4 minhashes in seed order). Only then do 4 small rows per doc enter
+    the (band, sig) equi-join — the single shuffle in the whole operator,
+    carrying O(4n) tiny rows. Docs sharing any bucket become candidate
+    pairs (doc_a < doc_b); never a cross join. The previous form exploded
+    shingles x 16 seeds (48M rows at the 10x tier) through a groupBy —
+    same signatures' semantics, ~16x the hashing and two extra shuffles."""
+    mins = F.array(
+        *[
+            F.expr(
+                f"aggregate(_v, 9223372036854775807L, (acc, v) -> least(acc,"
+                f" {a}L * shiftright(v, 30) + {b}L * (v & 1073741823) + {s}L))"
+            )
+            for s, (a, b) in enumerate(zip(_MH_A, _MH_B))
+        ]
+    )
     bands = (
-        sigs.withColumn("band", (F.col("seed") / _BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
+        d.select("doc_id", _shingle().alias("_sh"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(_sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+            ).alias("_v"),
+        )
+        .select("doc_id", mins.alias("_mh"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, 3), band -> md5(concat_ws(',',"
+                    " element_at(_mh, band * 4 + 1), element_at(_mh, band * 4 + 2),"
+                    " element_at(_mh, band * 4 + 3), element_at(_mh, band * 4 + 4))))"
                 )
-            ).alias("sig")
+            ).alias("band", "sig"),
         )
     )
     a = bands.alias("a")
@@ -139,15 +150,23 @@ sh AS (
             i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])) AS shingles
   FROM tk
 ),
+sd AS (
+  SELECT t.seed,
+         CAST(concat('0x', substr(md5('a' || CAST(t.seed AS VARCHAR)), 1, 7)) AS BIGINT) AS a,
+         CAST(concat('0x', substr(md5('b' || CAST(t.seed AS VARCHAR)), 1, 7)) AS BIGINT) AS b
+  FROM (SELECT unnest(range(16)) AS seed) t
+),
 hx AS (
-  SELECT doc_id, t.seed,
+  SELECT doc_id, sd.seed,
          list_min(list_transform(shingles,
-            s -> md5(CAST(t.seed AS VARCHAR) || ':' || s))) AS minhash
-  FROM sh, (SELECT unnest(range(16)) AS seed) t
+            s -> sd.a * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) >> 30)
+               + sd.b * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) & 1073741823)
+               + sd.seed)) AS minhash
+  FROM sh, sd
 ),
 bands AS (
   SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-         md5(string_agg(minhash, ',' ORDER BY seed)) AS sig
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS sig
   FROM hx GROUP BY doc_id, CAST(seed // 4 AS INT)
 ),
 pairs AS (
@@ -172,8 +191,9 @@ FROM documents d LEFT JOIN cnt USING (doc_id)
 """,
     doc=(
         "MinHash + LSH near-dup detection (Broder '97), pure DataFrame ops: "
-        "3-token shingles → 16 minhashes (md5, seed-prefixed — every engine "
-        "derives identical signatures; swap xxhash64 at 100 TB when parity "
+        "3-token shingles → one 60-bit md5 value per shingle → 16 minhashes "
+        "via per-seed universal-hash folds (all map-side; every engine "
+        "derives identical signatures — swap xxhash64 at 100 TB when parity "
         "isn't needed) → 4 bands of 4 → equi-join on (band, signature). "
         "Output: one row per doc with its candidate-duplicate count (0 for "
         "unique docs), so the result is non-empty at every sf; pytest "
@@ -388,15 +408,14 @@ def q_llm_dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_dedup_simhash",
     oracle="""
 WITH tok AS (
-  SELECT doc_id, token, count(*) AS cnt, md5(token) AS th
+  SELECT doc_id, token, count(*) AS cnt,
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS thl
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
   GROUP BY doc_id, token
 ),
 contrib AS (
   SELECT doc_id, b.bit,
-         sum(CASE WHEN
-               ((strpos('0123456789abcdef', th[CAST(b.bit // 4 AS INT) + 1]) - 1)
-                >> (b.bit % 4)) & 1 = 1
+         sum(CASE WHEN (thl >> CAST(b.bit AS INT)) & 1 = 1
              THEN cnt ELSE -cnt END) AS s
   FROM tok, (SELECT unnest(range(60)) AS bit) b
   GROUP BY doc_id, b.bit
@@ -408,7 +427,7 @@ FROM contrib GROUP BY doc_id
 """,
     doc=(
         "SimHash document fingerprint (60-bit, Charikar '02), all JVM-side: "
-        "per-token md5 → bit i read from hex digit i/4 (nibble bit i%4) → "
+        "per-token 60-bit md5 value (first 15 hex chars) → bit i read by shift → "
         "per-bit ±count contributions (posexplode of a 60-slot lambda "
         "array) → sign → weighted bit reassembly into one BIGINT per doc. "
         "md5 (not xxhash64) keeps the fingerprint engine-independent — the "
@@ -423,36 +442,31 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_fingerprints(d: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — the 60-bit Charikar fingerprint, all JVM-side."""
-    tok = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("th", F.md5("token"))
-    )
-    # bit i of the 60-bit hash = bit (i%4) of hex digit (i/4) of md5(token);
-    # contribution vector: +cnt when that bit is set, else -cnt
-    contrib = tok.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 59), i -> CASE WHEN"
-                " shiftright(instr('0123456789abcdef', substring(th, CAST(i / 4 AS INT) + 1, 1)) - 1,"
-                "            CAST(i % 4 AS INT)) & 1 = 1"
-                " THEN cnt ELSE -cnt END)"
-            )
-        ).alias("bit", "c"),
-    )
+    """(doc_id, simhash) — the 60-bit Charikar fingerprint, MAP-ONLY:
+    one 60-bit value (first 15 md5 hex chars) per token occurrence, then
+    a nested aggregate() fold — per bit position, sum ±1 over the token
+    occurrences (identical to summing ±count over distinct tokens) —
+    and weighted bit reassembly, all inside one projection. No token
+    shuffle and no 60x row blow-up; the previous form shuffled
+    (doc, token) pairs then 60x contribution rows through two groupBys
+    (180M rows at the 10x tier) to compute the same fingerprints."""
     return (
-        contrib.groupBy("doc_id", "bit")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("simhash")
+        d.select(
+            "doc_id",
+            F.expr(
+                "transform(split(text, ' '),"
+                " t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+            ).alias("_thl"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) -> acc +"
+                " CASE WHEN aggregate(_thl, cast(0 as bigint), (a2, h) ->"
+                "   a2 + CASE WHEN (shiftright(h, b) & 1) = 1"
+                "        THEN cast(1 as bigint) ELSE cast(-1 as bigint) END) > 0"
+                " THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"
+            ).alias("simhash"),
         )
     )
 
@@ -464,15 +478,14 @@ _HAMMING_K = 3  # near-dup threshold; 4 segments of 15 bits (pigeonhole: k+1 seg
     "q_llm_dedup_simhash_hamming",
     oracle="""
 WITH tok AS (
-  SELECT doc_id, token, count(*) AS cnt, md5(token) AS th
+  SELECT doc_id, token, count(*) AS cnt,
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS thl
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
   GROUP BY doc_id, token
 ),
 contrib AS (
   SELECT doc_id, b.bit,
-         sum(CASE WHEN
-               ((strpos('0123456789abcdef', th[CAST(b.bit // 4 AS INT) + 1]) - 1)
-                >> (b.bit % 4)) & 1 = 1
+         sum(CASE WHEN (thl >> CAST(b.bit AS INT)) & 1 = 1
              THEN cnt ELSE -cnt END) AS s
   FROM tok, (SELECT unnest(range(60)) AS bit) b
   GROUP BY doc_id, b.bit
