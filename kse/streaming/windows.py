@@ -141,3 +141,55 @@ def stream_stream_join(
         F.col("l.ts").alias("left_ts"),
         F.col("r.ts").alias("right_ts"),
     )
+
+
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+    join_key: str = "user_id",
+    time_bound: str = "INTERVAL 10 MINUTES",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join (join_stream_stream, outer leg):
+    matched pairs emit like the inner form; an unmatched left row emits
+    with null right columns only once BOTH watermarks guarantee no match
+    can still arrive — i.e. the null verdict is delayed by
+    (watermark + time bound), which is the price of it being correct
+    rather than provisional. Same bounded state as the inner join; the
+    engine's no-data micro-batches flush expired outer state even when
+    no new rows arrive."""
+    l_ = left.alias("l").withWatermark("ts", left_watermark)
+    r_ = right.alias("r").withWatermark("ts", right_watermark)
+    return l_.join(
+        r_,
+        F.expr(
+            f"l.{join_key} = r.{join_key} AND "
+            f"r.ts BETWEEN l.ts - {time_bound} AND l.ts + {time_bound} AND "
+            "l.event_id < r.event_id"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col(f"l.{join_key}").alias(join_key),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame, *, watermark: str = "15 minutes"
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark (st_dedup_stream, bounded-horizon
+    leg): unlike dropDuplicates — whose state holds every key until
+    eviction and whose guarantee silently weakens once a key expires —
+    this variant promises exactly: two events with the same id whose
+    event times are within the watermark delay of each other dedup to
+    one, and state for a key is GUARANTEED droppable once the watermark
+    passes its event time + delay. The right tool when ids recycle or
+    the at-least-once source only replays within a bounded window."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -547,3 +547,56 @@ def test_stateful_ttl_evicts_expired_user_state(spark, tmp_events_dir, tmp_path)
     expired = [(r.user_id, r.n_events) for r in rows if r.expired]
     assert (1, 2) in expired  # user 1 evicted with their full count
     assert all(uid != 99 for uid, _ in expired)  # active user stays live
+
+
+def test_stream_stream_left_join_emits_nulls_after_watermark(
+    spark, tmp_events_dir, tmp_path, tmp_path_factory
+):
+    """Matched pairs emit like the inner join; the unmatched left row
+    emits with a null right side once the watermark passes its expiry
+    (a late sentinel on both streams pushes the watermark far enough)."""
+    d2 = tmp_path_factory.mktemp("right_events_outer")
+    write_event_chunk(
+        tmp_events_dir,
+        "000.json",
+        [
+            ev(1, "2024-01-01T10:00:00Z", user_id=5),
+            ev(3, "2024-01-01T10:01:00Z", user_id=6),  # no right match
+        ],
+    )
+    write_event_chunk(
+        tmp_events_dir, "001.json", [ev(9, "2024-01-01T12:00:00Z", user_id=50)]
+    )
+    write_event_chunk(str(d2), "000.json", [ev(2, "2024-01-01T10:05:00Z", user_id=5)])
+    write_event_chunk(str(d2), "001.json", [ev(8, "2024-01-01T12:00:00Z", user_id=51)])
+    joined = W.stream_stream_left_join(
+        file_events(spark, tmp_events_dir), file_events(spark, str(d2))
+    )
+    name = f"ssoj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(joined, name, tmp_path, mode="append")
+    rows = {
+        r.left_event_id: r.right_event_id
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert rows[1] == 2  # matched pair, same as the inner join
+    assert 3 in rows and rows[3] is None  # unmatched left row, null right
+
+
+def test_stream_dedup_within_watermark(spark, tmp_events_dir, tmp_path):
+    """Same event_id arriving twice within the watermark horizon (even in
+    a later micro-batch) collapses to one row; a distinct id survives."""
+    write_event_chunk(
+        tmp_events_dir,
+        "000.json",
+        [ev(1, "2024-01-01T10:00:00Z"), ev(2, "2024-01-01T10:00:30Z")],
+    )
+    write_event_chunk(
+        tmp_events_dir, "001.json", [ev(1, "2024-01-01T10:02:00Z")]  # dup, 2 min later
+    )
+    deduped = W.dedup_stream_within_watermark(
+        file_events(spark, tmp_events_dir), watermark="15 minutes"
+    )
+    name = f"ddw_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(deduped, name, tmp_path, mode="append")
+    ids = sorted(r.event_id for r in spark.sql(f"SELECT * FROM {name}").collect())
+    assert ids == [1, 2]
