@@ -156,13 +156,17 @@ sd AS (
          CAST(concat('0x', substr(md5('b' || CAST(t.seed AS VARCHAR)), 1, 7)) AS BIGINT) AS b
   FROM (SELECT unnest(range(16)) AS seed) t
 ),
+sv AS (
+  SELECT doc_id,
+         list_transform(shingles,
+            s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS vals
+  FROM sh
+),
 hx AS (
   SELECT doc_id, sd.seed,
-         list_min(list_transform(shingles,
-            s -> sd.a * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) >> 30)
-               + sd.b * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) & 1073741823)
-               + sd.seed)) AS minhash
-  FROM sh, sd
+         list_min(list_transform(vals,
+            v -> sd.a * (v >> 30) + sd.b * (v & 1073741823) + sd.seed)) AS minhash
+  FROM sv, sd
 ),
 bands AS (
   SELECT doc_id, CAST(seed // 4 AS INT) AS band,
