@@ -161,6 +161,6 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from kse.queries import extras, functions, llm, relational, udfs, windows  # noqa: F401
+    from kse.queries import extras, functions, graphs, llm, relational, udfs, windows  # noqa: F401
 
     _LOADED = True
