@@ -1272,3 +1272,34 @@ def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register(
+    "q_join_lateral",
+    oracle=_LATERAL_SQL,
+    doc=(
+        "LATERAL correlated subquery join (SQL:1999) — top-2 orders per "
+        "BUILDING customer, written as the per-row dependent subquery the "
+        "construct exists for. Catalyst DECORRELATES it: the plan is a "
+        "window group-limit over orders joined back to customers, not a "
+        "per-customer re-execution — the same rewrite every optimizer "
+        "must do for LATERAL to survive at scale, here verified by the "
+        "identical-text DuckDB oracle. The customer filter pushes into "
+        "the scan before the join."
+    ),
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import sql_q
+
+    return sql_q(spark, sf_dir, _LATERAL_SQL, ["customer", "orders"])

@@ -2475,3 +2475,224 @@ def q_llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket * F.col("n_lang") < F.col("n_min") * 1000000)
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# web-crawl curation: URL canonicalization dedup, per-domain caps
+# ---------------------------------------------------------------------------
+
+# The documents table carries no URL column, so both engines derive the
+# same synthetic crawl URL from (doc_id, source) — with deliberate
+# scheme-case / trailing-slash / tracking-param variants — and the operator
+# under test is the canonicalize-then-dedup pipeline, not the derivation.
+_URL_SQL = """concat(
+  CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+  CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END,
+  '.example.com/doc/', CAST(doc_id % 211 AS STRING),
+  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_medium=rss' ELSE '' END)"""
+
+
+@register(
+    "q_llm_dedup_url",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_SQL.replace("AS STRING", "AS VARCHAR")} AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(url), '\\?utm[^#]*$', ''),
+                        '/$', '') AS url
+  FROM raw
+)
+SELECT url, count(*) AS n_variants, min(doc_id) AS keep_doc_id
+FROM canon GROUP BY url
+""",
+    doc=(
+        "URL-canonicalization dedup — the first dedup pass of every "
+        "web-crawl pipeline (CCNet / RefinedWeb): lowercase, strip "
+        "tracking query-params, strip the trailing slash, then keep one "
+        "doc per canonical URL. Canonicalization is a map-only chain of "
+        "JVM regex/string ops; the dedup is one partial-aggregating "
+        "groupBy on the canonical string (at 100 TB: on xxhash64 of it), "
+        "so the full pass is one shuffle of 8-byte keys. Scheme-case, "
+        "slash and utm variants of the same path collapse to one row — "
+        "the oracle derives identical URLs and canonicalizes with the "
+        "same regexes."
+    ),
+)
+def q_llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    canon = F.regexp_replace(
+        F.regexp_replace(F.lower(F.expr(_URL_SQL)), r"\?utm[^#]*$", ""), "/$", ""
+    )
+    return (
+        d.select("doc_id", canon.alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_variants"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@register(
+    "q_llm_domain_cap",
+    oracle="""
+WITH kept AS (
+  SELECT source, n_chars FROM documents
+  QUALIFY row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars DESC, doc_id) <= 200
+)
+SELECT source AS domain, count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+       min(n_chars) AS floor_chars
+FROM kept GROUP BY source
+""",
+    doc=(
+        "Per-domain document cap — crawl-mix balancing: no domain "
+        "contributes more than N documents, keeping its highest-quality "
+        "ones (quality := n_chars here; any score column drops in). One "
+        "window partitioned by domain with rank<=N — Spark plans it as "
+        "WindowGroupLimit, so each partition keeps a bounded top-N heap "
+        "and never materializes the full per-domain sort — followed by a "
+        "tiny per-domain summary aggregate. The hot-domain skew this "
+        "guards against (a few domains dominating a crawl) is exactly "
+        "what the group-limit pushdown bounds at 100 TB."
+    ),
+)
+def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.select("source", "n_chars", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 200)
+        .groupBy(F.col("source").alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.min("n_chars").alias("floor_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering (Lloyd's iterations as DataFrame plans)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8  # clusters
+_KM_UPDATES = 2  # centroid-update rounds before the final assignment
+_KM_DIMS = 64  # embedding dimensionality (TESTDATA.md)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd's iterations as a DuckDB CTE chain, bit-identical to
+    the Spark plan: squared-L2 distances fold over dimensions in index
+    order (list_sum(list_transform(...)) == aggregate(zip_with(...)) —
+    same left-to-right double accumulation, the parity the kNN family
+    already relies on), and centroid means go through integer-scaled
+    coordinate sums (exact, order-independent) so the only float ops are
+    deterministic element-wise arithmetic on identical inputs."""
+    dist = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i])))"
+    )
+    ctes = [
+        "vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+        "FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, e AS c FROM vecs WHERE vec_id < {_KM_K})",
+    ]
+    for i in range(1, _KM_UPDATES + 2):
+        ctes.append(
+            f"assign{i} AS (SELECT vec_id, cid, e FROM ("
+            "SELECT vec_id, cid, e, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn "
+            f"FROM (SELECT v.vec_id, c.cid, v.e, {dist} AS dist "
+            f"FROM vecs v CROSS JOIN cent{i - 1} c)) WHERE rn = 1)"
+        )
+        if i <= _KM_UPDATES:
+            ctes.append(
+                f"cent{i} AS (SELECT cid, list(cval ORDER BY dim) AS c FROM ("
+                "SELECT cid, dim, "
+                "(CAST(sum(CAST(floor(val * 1000000 + 0.5) AS BIGINT)) AS BIGINT)"
+                " / 1000000.0) / count(*) AS cval "
+                f"FROM (SELECT cid, i AS dim, e[i] AS val "
+                f"FROM assign{i}, (SELECT unnest(range(1, 65)) AS i)) "
+                "GROUP BY cid, dim) GROUP BY cid)"
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cid AS cluster FROM assign{_KM_UPDATES + 1}"
+    )
+
+
+def _km_assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    dist = F.expr(
+        "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", "e", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "e")
+    )
+
+
+def _km_update(assign: DataFrame) -> DataFrame:
+    ex = assign.select("cid", F.posexplode("e").alias("pos", "val"))
+    sums = ex.groupBy("cid", (F.col("pos") + 1).alias("dim")).agg(
+        F.sum(F.floor(F.col("val") * 1000000.0 + 0.5)).alias("s"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        sums.select(
+            "cid",
+            "dim",
+            (F.col("s") / F.lit(1000000.0) / F.col("cnt")).alias("cval"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cval))), s -> s.cval)"
+            ).alias("c")
+        )
+    )
+
+
+@register(
+    "q_llm_kmeans",
+    oracle=_kmeans_oracle(),
+    doc=(
+        f"K-means semantic clustering of the embedding corpus (k={_KM_K}, "
+        f"{_KM_UPDATES} Lloyd updates + final assignment) as pure "
+        "DataFrame plans — the MLlib shape without the RDD API. Per "
+        "round: assignment is vectors x broadcast(k centroids) with a "
+        "JVM-lambda squared-L2 fold and a k-row per-vector window (no "
+        "shuffle of the vectors beyond the window's partition-by-id); "
+        "the update is one partially-aggregating groupBy over (cluster, "
+        "dim) of integer-scaled coordinates — exact and order-independent, "
+        "which is what lets an iterative float algorithm sit under the "
+        "exact hash gate: every float either comes from a deterministic "
+        "element-wise op on identical inputs or from an exact integer sum. "
+        "Init is the first k vectors (k-means|| at 100 TB; init choice "
+        "does not change the plan shape). Empty clusters drop out of the "
+        "centroid table identically on both engines. At 100 TB: "
+        "assignment is map-side (broadcast k*d doubles), the update "
+        "shuffles k*d*partitions partial sums — both invariant in corpus "
+        "size per partition."
+    ),
+)
+def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    cent = vecs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    for _ in range(_KM_UPDATES):
+        cent = _km_update(_km_assign(vecs, cent))
+    return _km_assign(vecs, cent).select("vec_id", F.col("cid").alias("cluster"))

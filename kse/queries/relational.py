@@ -117,6 +117,92 @@ def src_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _format_stage_dir(sf_dir: str) -> str:
+    """Session-stable staging dir for format round-trip sources, keyed by
+    the absolute sf_dir so scale factors never collide."""
+    import hashlib
+    import os
+    import tempfile
+
+    slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"kse-src-formats-{slug}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@register(
+    "src_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc=(
+        "CSV ingest edge: the nation table is rewritten as RFC-4180 CSV "
+        "(all fields quoted, quotes doubled) and read back through "
+        "spark.read.csv with an EXPLICIT schema and escape='\"' — no "
+        "inference pass, which at 100 TB would be a full extra scan. "
+        "Text CSV is splittable, so a large file still fans out across "
+        "executors; the oracle reads the original parquet, making the "
+        "check a full fidelity test of the quote/escape/typing round-trip. "
+        "Staged atomically "
+        "(tmp + os.replace), and only integer/string columns appear — "
+        "float-through-text is exercised by src_jsonl, which controls its "
+        "serialization precision."
+    ),
+)
+def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import csv as _csv
+    import os
+
+    import pandas as pd
+
+    from kse.catalog import table_path
+
+    dest = os.path.join(_format_stage_dir(sf_dir), "nation.csv")
+    pdf = pd.read_parquet(table_path(sf_dir, "nation"))
+    tmp = dest + ".tmp"
+    pdf.to_csv(tmp, index=False, quoting=_csv.QUOTE_ALL)
+    os.replace(tmp, dest)
+    return (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(dest)
+    )
+
+
+@register(
+    "src_jsonl",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    doc=(
+        "JSON-lines ingest edge: the supplier table is serialized to JSONL "
+        "with Python's shortest-repr float formatting (guaranteed "
+        "double round-trip — pandas' to_json caps at 15 digits, which is "
+        "NOT bit-safe for arbitrary doubles) and read back via "
+        "spark.read.json with an explicit schema. JSONL is line-splittable "
+        "like CSV; the explicit schema again skips the inference scan. "
+        "The oracle reads the original parquet, so the hash gate verifies "
+        "bit-exact double round-trip through text plus string escaping."
+    ),
+)
+def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    import pandas as pd
+
+    from kse.catalog import table_path
+
+    cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    dest = os.path.join(_format_stage_dir(sf_dir), "supplier.jsonl")
+    pdf = pd.read_parquet(table_path(sf_dir, "supplier"), columns=cols)
+    tmp = dest + ".tmp"
+    with open(tmp, "w") as f:
+        for rec in pdf.to_dict(orient="records"):
+            f.write(json.dumps(rec) + "\n")
+    os.replace(tmp, dest)
+    return spark.read.schema(
+        "s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+    ).json(dest)
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projection / filter / predicates
 # ---------------------------------------------------------------------------
