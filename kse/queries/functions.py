@@ -455,3 +455,49 @@ def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").alias("n_bytes"),
         F.bit_length(F.substring("text", 1, 8)).alias("n_bits"),
     )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+WITH j AS (
+  SELECT event_id,
+         '{"p": ' || props || ', "u": ' || CAST(user_id AS VARCHAR)
+         || ', "tags": ["' || event_type || '"]}' AS doc
+  FROM events
+)
+SELECT event_id,
+       CAST(json_extract(doc, '$.p.k') AS INT) AS k,
+       CAST(json_extract(doc, '$.u') AS BIGINT) AS u,
+       json_extract_string(doc, '$.tags[0]') AS tag0
+FROM j
+""",
+    doc=(
+        "Spark 4 VARIANT type: parse_json into the shredded binary "
+        "variant encoding, then typed path extraction with variant_get "
+        "('$.p.k' as int, '$.u' as bigint, '$.tags[0]' as string) over a "
+        "nested document assembled from event fields. VARIANT is the "
+        "scale answer to schema-on-read JSON columns — parse once into a "
+        "binary form, then path access without per-query string "
+        "re-parsing; the oracle runs the same paths through DuckDB's "
+        "JSON extraction on the identical assembled text."
+    ),
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"p": '),
+        F.col("props"),
+        F.lit(', "u": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "tags": ["'),
+        F.col("event_type"),
+        F.lit('"]}'),
+    )
+    v = F.parse_json(doc)
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.p.k", "int").alias("k"),
+        F.variant_get(v, "$.u", "bigint").alias("u"),
+        F.variant_get(v, "$.tags[0]", "string").alias("tag0"),
+    )

@@ -178,3 +178,63 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     return pr
+
+
+@register(
+    "q_graph_jaccard_neighbors",
+    oracle=f"""
+WITH {_EDGE_CTE},
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+common AS (
+  SELECT a.u AS u, b.u AS v, count(*) AS n_common
+  FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+  GROUP BY a.u, b.u HAVING count(*) >= 2
+)
+SELECT c.u, c.v, CAST(c.n_common AS BIGINT) AS n_common,
+       round(CAST(c.n_common AS DOUBLE) / (du.deg + dv.deg - c.n_common), 6)
+         AS jaccard
+FROM common c
+JOIN deg du ON du.node = c.u
+JOIN deg dv ON dv.node = c.v
+""",
+    doc=(
+        "Neighborhood Jaccard similarity (link prediction): for every "
+        "node pair sharing >= 2 neighbors, |N(u) ∩ N(v)| / |N(u) ∪ N(v)| "
+        "— the classic co-citation / you-may-also-like signal. The pair "
+        "candidates come from a wedge join THROUGH the shared neighbor "
+        "(an equi-join on the middle node), so cost is sum(deg^2) of the "
+        "support-filtered sparse graph, never nodes^2; the >= 2 common "
+        "filter runs inside the partial aggregate. Degrees join back as "
+        "a small broadcastable table. Same skew discipline as triangles: "
+        "the support threshold bounds the hub degrees that would "
+        "dominate the wedge fan-out at 100 TB."
+    ),
+)
+def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(t(spark, sf_dir, "lineitem"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    a, b = sym.alias("a"), sym.alias("b")
+    common = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.u") < F.col("b.u")))
+        .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    du = deg.alias("du")
+    dv = deg.alias("dv")
+    return (
+        common.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(
+            "u",
+            "v",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("du.deg") + F.col("dv.deg") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -635,6 +635,132 @@ def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_containment",
+    oracle=_MINHASH_ORACLE
+    + """,
+dsh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+cont AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         / least(len(a.sh), len(b.sh)) AS containment
+  FROM pairs p
+  JOIN dsh a ON p.doc_a = a.doc_id
+  JOIN dsh b ON p.doc_b = b.doc_id
+),
+per_doc AS (
+  SELECT doc_id, max(containment) AS max_containment
+  FROM (SELECT doc_a AS doc_id, containment FROM cont
+        UNION ALL SELECT doc_b, containment FROM cont)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, round(coalesce(per_doc.max_containment, 0.0), 6) AS max_containment
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+""",
+    doc=(
+        "Broder containment over MinHash candidates: |A∩B| / min(|A|,|B|) "
+        "on distinct-shingle sets — the asymmetric companion to Jaccard "
+        "that catches SUB-DOCUMENT duplication (a doc fully embedded in a "
+        "longer one scores ~1.0 here but low Jaccard, because the union "
+        "in Jaccard's denominator is dominated by the longer doc). Same "
+        "scale shape as q_llm_dedup_ngram_jaccard: exact set math runs "
+        "only on LSH candidate pairs via JVM array lambdas, never "
+        "all-pairs; output is one row per doc (max containment, 0.0 when "
+        "no candidates)."
+    ),
+)
+def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    shingled = d.select("doc_id", F.array_distinct(_shingle()).alias("sh"))
+    pairs = minhash_candidate_pairs(d)
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    cont = (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.least(F.size("a.sh"), F.size("b.sh"))
+            ).alias("containment"),
+        )
+    )
+    per_doc = (
+        cont.select(F.col("doc_a").alias("doc_id"), "containment")
+        .union(cont.select(F.col("doc_b").alias("doc_id"), "containment"))
+        .groupBy("doc_id")
+        .agg(F.max("containment").alias("max_containment"))
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("max_containment", F.lit(0.0)), 6).alias(
+                "max_containment"
+            ),
+        )
+    )
+
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "q_llm_chunk",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+st AS (
+  SELECT doc_id, tok, unnest(range(1, len(tok) + 1, {_CHUNK_STRIDE})) AS start
+  FROM tk
+)
+SELECT doc_id,
+       CAST((start - 1) // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(len(list_slice(tok, start, start + {_CHUNK_SIZE - 1})) AS INT) AS n_tokens,
+       array_to_string(list_slice(tok, start, start + {_CHUNK_SIZE - 1}), ' ') AS chunk_text
+FROM st
+""",
+    doc=(
+        f"Sliding-window token chunking ({_CHUNK_SIZE}-token chunks, "
+        f"stride {_CHUNK_STRIDE}, {_CHUNK_SIZE - _CHUNK_STRIDE}-token "
+        "overlap) — the RAG/embedding-prep segmentation pass. Map-only: "
+        "per doc, explode a start-offset sequence and slice the token "
+        "array per start — no shuffle at all; chunk ids derive "
+        "arithmetically from the offset, so no window or ordinality "
+        "dependence. At 100 TB output size is corpus x (1+overlap/stride) "
+        "and each task streams through its own documents."
+    ),
+)
+def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.split("text", " ").alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "tok",
+            F.explode(
+                F.expr(f"sequence(1, size(tok), {_CHUNK_STRIDE})")
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST((start - 1) DIV {_CHUNK_STRIDE} AS INT)").alias("chunk_idx"),
+            F.expr(f"CAST(size(slice(tok, start, {_CHUNK_SIZE})) AS INT)").alias(
+                "n_tokens"
+            ),
+            F.expr(f"concat_ws(' ', slice(tok, start, {_CHUNK_SIZE}))").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+@register(
     "q_llm_fingerprint",
     oracle="""
 WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
