@@ -2614,7 +2614,7 @@ def q_llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _URL_SQL = """concat(
   CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END,
   CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END,
-  '.example.com/doc/', CAST(doc_id % 211 AS STRING),
+  '.example.com/doc/', CAST(doc_id % 50 AS STRING),
   CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
   CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_medium=rss' ELSE '' END)"""
 

@@ -1,0 +1,160 @@
+"""Round-3 curation/clustering operators: Lloyd's-invariant checks for
+k-means, chunk-overlap reconstruction, planted sub-document containment,
+URL canonicalization collapse, and per-domain cap bounds."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kse.catalog import load
+from kse.queries.llm import (
+    _CHUNK_SIZE,
+    _CHUNK_STRIDE,
+    _KM_K,
+    _km_assign,
+    _km_update,
+    q_llm_chunk,
+    q_llm_containment,
+    q_llm_dedup_url,
+    q_llm_domain_cap,
+    q_llm_kmeans,
+)
+
+from .conftest import SF_T2
+
+
+def _plant_documents(tmp_path, rows):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["src0"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    sf_dir = tmp_path / "planted_sf"
+    sf_dir.mkdir()
+    pdf.to_parquet(sf_dir / "documents.parquet", index=False)
+    return str(sf_dir)
+
+
+def test_kmeans_partition_and_lloyd_invariant(spark):
+    res = q_llm_kmeans(spark, SF_T2)
+    rows = res.collect()
+    n_vecs = load(spark, SF_T2, "embeddings").count()
+    assert len(rows) == n_vecs  # every vector assigned exactly once
+    assert {r.cluster for r in rows} <= set(range(_KM_K))
+
+    # Lloyd's monotonicity: total squared distance under the final
+    # centroids/assignment must not exceed the initial assignment's.
+    emb = load(spark, SF_T2, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    cent0 = vecs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+
+    def sse(assign, cent):
+        d = assign.join(cent, "cid").select(
+            F.expr(
+                "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("d2")
+        )
+        return d.agg(F.sum("d2")).collect()[0][0]
+
+    a0 = _km_assign(vecs, cent0)
+    sse0 = sse(a0, cent0)
+    cent1 = _km_update(a0)
+    a1 = _km_assign(vecs, cent1)
+    sse1 = sse(a1, cent1)
+    cent2 = _km_update(a1)
+    a2 = _km_assign(vecs, cent2)
+    sse2 = sse(a2, cent2)
+    assert sse0 >= sse1 >= sse2
+
+
+def test_chunk_overlap_reconstruction(spark):
+    doc = (
+        load(spark, SF_T2, "documents")
+        .filter(F.col("doc_id") == 3)
+        .select("text")
+        .collect()[0]
+        .text
+    )
+    tokens = doc.split(" ")
+    chunks = (
+        q_llm_chunk(spark, SF_T2)
+        .filter(F.col("doc_id") == 3)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    overlap = _CHUNK_SIZE - _CHUNK_STRIDE
+    for i, ch in enumerate(chunks):
+        start = i * _CHUNK_STRIDE
+        expect = tokens[start : start + _CHUNK_SIZE]
+        assert ch.chunk_text.split(" ") == expect
+        assert ch.n_tokens == len(expect)
+    # consecutive chunks overlap by exactly (size - stride) tokens
+    for prev, nxt in zip(chunks, chunks[1:]):
+        p, n = prev.chunk_text.split(" "), nxt.chunk_text.split(" ")
+        if len(p) == _CHUNK_SIZE:
+            assert p[-overlap:] == n[:overlap]
+    # chunk starts cover every token index
+    assert (len(chunks) - 1) * _CHUNK_STRIDE < len(tokens)
+
+
+def test_containment_detects_planted_subdocument(spark, tmp_path):
+    words = [f"w{i}" for i in range(60)]
+    full = " ".join(words)
+    # prefix long enough that shingle-Jaccard (53/58 ~ 0.91) makes the pair
+    # an LSH candidate with near-certainty under the deterministic seeds
+    sub = " ".join(words[:55])
+    far = " ".join(f"z{i}" for i in range(40))
+    sf_dir = _plant_documents(tmp_path, [(1, full), (2, sub), (3, far)])
+    res = {r.doc_id: r.max_containment for r in q_llm_containment(spark, sf_dir).collect()}
+    # sub's shingles are a strict subset of full's => containment 1.0 both ways
+    assert res[1] == 1.0 and res[2] == 1.0
+    assert res[3] == 0.0
+    from kse import catalog
+
+    catalog._RELATION_CACHE.pop((id(spark), sf_dir, "documents"), None)
+
+
+def test_url_dedup_matches_python_reference(spark):
+    import re
+
+    docs = load(spark, SF_T2, "documents").select("doc_id", "source").collect()
+    ref: dict[str, list[int]] = {}
+    for r in docs:
+        scheme, src = ("HTTPS://", r.source.upper()) if r.doc_id % 7 == 0 else (
+            "https://",
+            r.source,
+        )
+        url = f"{scheme}{src}.example.com/doc/{r.doc_id % 50}"
+        if r.doc_id % 3 == 0:
+            url += "/"
+        if r.doc_id % 5 == 0:
+            url += "?utm_source=feed&utm_medium=rss"
+        canon = re.sub(r"/$", "", re.sub(r"\?utm[^#]*$", "", url.lower()))
+        ref.setdefault(canon, []).append(r.doc_id)
+    got = {r.url: (r.n_variants, r.keep_doc_id) for r in
+           q_llm_dedup_url(spark, SF_T2).collect()}
+    assert got == {u: (len(ids), min(ids)) for u, ids in ref.items()}
+    # the variants actually collapse: fewer canonical urls than docs
+    assert len(got) < len(docs)
+
+
+def test_domain_cap_bounds(spark):
+    caps = q_llm_domain_cap(spark, SF_T2).collect()
+    docs = load(spark, SF_T2, "documents")
+    per_domain = {
+        r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r.domain for r in caps} == set(per_domain)
+    for r in caps:
+        assert r.n_kept == min(200, per_domain[r.domain])
+        assert r.floor_chars <= r.chars_kept / r.n_kept  # floor is a lower bound

@@ -54,3 +54,22 @@ def test_orc_round_trip(spark, tmp_path):
     a = ev.agg(F.count("*"), F.sum("value"), F.max("ts")).collect()[0]
     b = back.agg(F.count("*"), F.sum("value"), F.max("ts")).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_src_csv_jsonl_sources_match_parquet(spark):
+    """The registered CSV/JSONL ingest edges round-trip the catalog tables
+    bit-exactly, including doubles through shortest-repr JSON."""
+    from kse.queries.relational import src_csv, src_jsonl
+
+    nation = {tuple(r) for r in load(spark, SF_SMOKE, "nation").collect()}
+    got_csv = {tuple(r) for r in src_csv(spark, SF_SMOKE).collect()}
+    assert got_csv == nation
+
+    sup = {
+        tuple(r)
+        for r in load(spark, SF_SMOKE, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .collect()
+    }
+    got_jsonl = {tuple(r) for r in src_jsonl(spark, SF_SMOKE).collect()}
+    assert got_jsonl == sup

@@ -198,3 +198,42 @@ def test_burst_planted_window(spark, tmp_path):
     # 1 is near 2 and 3; 2 near 1 and 3; 3 near 1 and 2 (4:30 gap < 5min)
     assert got == {1: 2, 2: 2, 3: 2}
     catalog._RELATION_CACHE.pop((id(spark), sf_dir, "events"), None)
+
+
+def test_lateral_join_top2_per_customer(spark):
+    from kse.queries.extras import q_join_lateral
+
+    rows = q_join_lateral(spark, SF_SMOKE).collect()
+    orders = load(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    ).collect()
+    by_cust: dict[int, list] = {}
+    for r in orders:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r.c_custkey, set()).add((r.o_orderkey, r.o_totalprice))
+    for cust, pairs in got.items():
+        assert len(pairs) <= 2
+        expect = sorted(
+            by_cust[cust], key=lambda o: (-o.o_totalprice, o.o_orderkey)
+        )[:2]
+        assert pairs == {(o.o_orderkey, o.o_totalprice) for o in expect}
+
+
+def test_variant_extraction_matches_json_string_path(spark):
+    from kse.queries.functions import q_fn_variant
+
+    res = q_fn_variant(spark, SF_SMOKE)
+    ev = load(spark, SF_SMOKE, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_ref"),
+        "user_id",
+        "event_type",
+    )
+    j = res.join(ev, "event_id")
+    assert j.filter(
+        (F.col("k") != F.col("k_ref"))
+        | (F.col("u") != F.col("user_id"))
+        | (F.col("tag0") != F.col("event_type"))
+    ).count() == 0
