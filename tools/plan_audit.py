@@ -97,6 +97,28 @@ REQUIRED = {
     "q_join_skew_salted": [
         ("join keys carry the salt", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*salt"),
     ],
+    "q_join_lateral": [
+        ("correlated subquery decorrelated to a window group-limit", r"WindowGroupLimit"),
+        ("customer filter pushed to parquet", r"PushedFilters: \[[^\]]*c_mktsegment"),
+    ],
+    "q_llm_kmeans": [
+        ("centroids broadcast to the assignment join", r"BroadcastExchange"),
+        ("argmin window limited to one row per vector", r"WindowGroupLimit"),
+        ("centroid update partially aggregated map-side", r"partial_(sum|count)"),
+    ],
+    "q_llm_domain_cap": [
+        ("per-domain cap via WindowGroupLimit", r"WindowGroupLimit"),
+        ("domain summary partially aggregated map-side", r"partial_(count|sum|min)"),
+    ],
+    "q_llm_dedup_url": [
+        ("canonical-url groups collapse map-side", r"partial_(count|min)"),
+    ],
+    "q_graph_triangles": [
+        ("wedge + closing joins are equi-joins", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
+    "q_graph_pagerank": [
+        ("message aggregation is partial (combiner) per round", r"partial_sum"),
+    ],
 }
 
 # query -> [(property label, regex that must NOT match the executed plan)]
@@ -122,6 +144,25 @@ FORBIDDEN = {
     ],
     "q_win_funnel": [
         ("no global sort of events", r"rangepartitioning"),
+    ],
+    "q_llm_chunk": [
+        ("chunking is map-only — no shuffle at all", r"Exchange"),
+    ],
+    "q_fn_variant": [
+        ("variant parse/extract is map-only — no shuffle at all", r"Exchange"),
+    ],
+    "q_llm_containment": [
+        ("set math only on LSH candidates, not all-pairs", r"NestedLoop|CartesianProduct"),
+    ],
+    "q_graph_triangles": [
+        ("no nested-loop pair generation", r"NestedLoop|CartesianProduct"),
+    ],
+    "q_graph_jaccard_neighbors": [
+        ("wedge candidates from equi-join, not all-pairs", r"NestedLoop|CartesianProduct"),
+    ],
+    "q_graph_pagerank": [
+        ("no cartesian product (scalar N joins are broadcast)", r"CartesianProduct"),
+        ("no global range-sort", r"rangepartitioning"),
     ],
 }
 
