@@ -501,3 +501,65 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.u", "bigint").alias("u"),
         F.variant_get(v, "$.tags[0]", "string").alias("tag0"),
     )
+
+
+@register(
+    "q_fn_xml",
+    oracle="""
+SELECT event_id, event_type AS t, value AS v
+FROM events
+""",
+    doc=(
+        "XML parse surface (from_xml, Spark 4): serialize event fields "
+        "into an XML fragment, then parse it back with an explicit struct "
+        "schema and extract typed children — the ingest shape for "
+        "feed/config XML columns. The oracle projects the original "
+        "columns, so the hash gate proves a bit-exact round-trip "
+        "(including double -> shortest-repr text -> double). Map-only; "
+        "the parse happens inside codegen, no shuffle."
+    ),
+)
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><t>"),
+        F.col("event_type"),
+        F.lit("</t><v>"),
+        F.col("value").cast("string"),
+        F.lit("</v></e>"),
+    )
+    parsed = F.from_xml(xml, "t STRING, v DOUBLE")
+    return e.select(
+        "event_id",
+        parsed.getField("t").alias("t"),
+        parsed.getField("v").alias("v"),
+    )
+
+
+@register(
+    "q_fn_from_csv",
+    oracle="""
+SELECT event_id, event_id AS a, event_type AS b, value AS c
+FROM events
+""",
+    doc=(
+        "Embedded-CSV parse surface (from_csv): assemble a CSV line from "
+        "event fields and parse it back with an explicit schema — the "
+        "pattern for CSV-in-a-column payloads (log lines, legacy exports) "
+        "without a second read. Oracle projects the source columns: the "
+        "hash gate verifies the full serialize->parse round-trip typing. "
+        "Map-only, stays in codegen."
+    ),
+)
+def q_fn_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    line = F.concat_ws(
+        ",", F.col("event_id"), F.col("event_type"), F.col("value").cast("string")
+    )
+    parsed = F.from_csv(line, "a LONG, b STRING, c DOUBLE")
+    return e.select(
+        "event_id",
+        parsed.getField("a").alias("a"),
+        parsed.getField("b").alias("b"),
+        parsed.getField("c").alias("c"),
+    )

@@ -57,6 +57,18 @@ SCALE_OPS = [
     "q_llm_dedup_cluster_bigstar",
     "q_llm_dedup_simhash",
     "q_llm_dedup_ngram_jaccard",
+    "q_llm_kmeans",
+    "q_llm_chunk",
+    "q_llm_domain_cap",
+    "q_llm_dedup_url",
+    "q_graph_triangles",
+    "q_graph_jaccard_neighbors",
+    # q_graph_pagerank is omitted from the ratio table: its edge table is
+    # eagerly localCheckpoint-ed at plan-build time (the iterative-engine
+    # discipline), so a mat() timing would exclude the derivation Spark
+    # already paid while DuckDB's oracle re-derives edges every run — an
+    # apples-to-oranges ratio. Its scale shape (per-round equi-join +
+    # partial agg) is asserted in the plan audit instead.
     # q_llm_dedup_editdist stays at the sf0.1 tier: length-banding blocks
     # O(n²) only when lengths cluster; on this corpus's uniform 100-600
     # char spread, 50k docs put ~1.6k docs per 16-char band, i.e. ~10⁸
