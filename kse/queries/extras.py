@@ -1303,3 +1303,61 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kse.queries._util import sql_q
 
     return sql_q(spark, sf_dir, _LATERAL_SQL, ["customer", "orders"])
+
+
+@register(
+    "q_scan_zorder",
+    oracle="""
+WITH z AS (
+  SELECT l_partkey % 65536 AS pk, l_suppkey % 65536 AS sk,
+         list_sum(list_transform(range(0, 16),
+           i -> (((l_partkey % 65536) >> CAST(i AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2 * i AS INT))
+              + (((l_suppkey % 65536) >> CAST(i AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INT))
+         )) AS zval
+  FROM lineitem
+)
+SELECT zval // 262144 AS zbucket,
+       count(*) AS n_rows,
+       min(pk) AS pk_min, max(pk) AS pk_max,
+       min(sk) AS sk_min, max(sk) AS sk_max
+FROM z GROUP BY zval // 262144
+""",
+    doc=(
+        "Z-order (Morton-curve) clustering key: interleave the bits of two "
+        "join/filter dimensions into one sort key, then bucket rows by "
+        "z-range and report per-bucket min/max of BOTH dimensions — the "
+        "bounded ranges in the output are exactly the file-statistics "
+        "property that makes a z-ordered layout prunable on either "
+        "dimension at 100 TB (the Delta/Iceberg OPTIMIZE ZORDER "
+        "mechanism; one clustered layout serves two predicate columns "
+        "where a linear sort serves one). The interleave is a JVM-lambda "
+        "bit fold, map-only; the bucket summary is one partial-aggregating "
+        "groupBy. In production the z-value feeds repartitionByRange + "
+        "sortWithinPartitions at write time; this query is the portable "
+        "image of that layout decision plus its pruning evidence."
+    ),
+)
+def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    z = li.select(
+        (F.col("l_partkey") % 65536).alias("pk"),
+        (F.col("l_suppkey") % 65536).alias("sk"),
+    ).select(
+        "pk",
+        "sk",
+        F.expr(
+            "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) -> acc"
+            " + shiftleft(CAST((pk >> i) & 1 AS BIGINT), 2 * i)"
+            " + shiftleft(CAST((sk >> i) & 1 AS BIGINT), 2 * i + 1))"
+        ).alias("zval"),
+    )
+    return (
+        z.groupBy(F.expr("zval DIV 262144").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pk").alias("pk_min"),
+            F.max("pk").alias("pk_max"),
+            F.min("sk").alias("sk_min"),
+            F.max("sk").alias("sk_max"),
+        )
+    )

@@ -446,32 +446,36 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_fingerprints(d: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — the 60-bit Charikar fingerprint, MAP-ONLY:
-    one 60-bit value (first 15 md5 hex chars) per token occurrence, then
-    a nested aggregate() fold — per bit position, sum ±1 over the token
-    occurrences (identical to summing ±count over distinct tokens) —
-    and weighted bit reassembly, all inside one projection. No token
-    shuffle and no 60x row blow-up; the previous form shuffled
-    (doc, token) pairs then 60x contribution rows through two groupBys
-    (180M rows at the 10x tier) to compute the same fingerprints."""
-    return (
-        d.select(
-            "doc_id",
-            F.expr(
-                "transform(split(text, ' '),"
-                " t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
-            ).alias("_thl"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                "aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) -> acc +"
-                " CASE WHEN aggregate(_thl, cast(0 as bigint), (a2, h) ->"
-                "   a2 + CASE WHEN (shiftright(h, b) & 1) = 1"
-                "        THEN cast(1 as bigint) ELSE cast(-1 as bigint) END) > 0"
-                " THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"
-            ).alias("simhash"),
-        )
+    """(doc_id, simhash) — the 60-bit Charikar fingerprint via
+    explode + partial aggregation, the WHOLE-STAGE-CODEGEN path: one
+    60-bit value (first 15 md5 hex chars) per token occurrence, a
+    generated (doc, bit, ±1) stream, and one (doc, bit) hash aggregate
+    whose map-side combiner collapses the 60x generation to 60 rows per
+    doc BEFORE any shuffle, then a per-doc bit reassembly aggregate.
+
+    Measured against the alternative that avoids the generate entirely —
+    a nested aggregate() fold over (tokens x 60 bits) in one projection —
+    this form is ~10x faster at the 10x tier (4.2 s vs 42 s, bit-equal
+    results): higher-order-function lambdas are interpreted row-at-a-time
+    expressions outside codegen, so 180M lambda steps cost far more than
+    180M *generated* rows streaming through a codegen'd hash aggregate.
+    The shuffle the fold saved was already tiny (60 partially-aggregated
+    rows per doc); the lesson is the same one the UDF family documents —
+    what matters at scale is staying on the vectorized/codegen path, not
+    minimizing operator count."""
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tkn"))
+    h = tok.select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(tkn), 1, 15), 16, 10) as bigint)").alias("h"),
+    )
+    contrib = h.select("doc_id", "h", F.explode(F.expr("sequence(0, 59)")).alias("bit"))
+    sums = contrib.groupBy("doc_id", "bit").agg(
+        F.sum(F.expr("IF((shiftright(h, bit) & 1) = 1, 1, -1)")).alias("s")
+    )
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("IF(s > 0, shiftleft(cast(1 as bigint), bit), cast(0 as bigint))")
+        ).alias("simhash")
     )
 
 
@@ -2822,3 +2826,47 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_KM_UPDATES):
         cent = _km_update(_km_assign(vecs, cent))
     return _km_assign(vecs, cent).select("vec_id", F.col("cid").alias("cluster"))
+
+
+@register(
+    "q_llm_length_filter",
+    oracle="""
+WITH bounds AS (
+  SELECT quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+  FROM documents
+)
+SELECT lang, count(*) AS n_kept,
+       min(n_chars) AS len_min, max(n_chars) AS len_max
+FROM documents, bounds
+WHERE n_chars >= lo AND n_chars <= hi
+GROUP BY lang
+""",
+    doc=(
+        "Percentile-bounded length filtering — the Gopher/C4-style outlier "
+        "gate: drop documents outside the [p5, p95] length band, with the "
+        "bounds computed FROM THE CORPUS rather than hard-coded, then "
+        "report the surviving mix per language. The exact interpolated "
+        "percentile (Spark `percentile` == DuckDB `quantile_cont`, same "
+        "index-interpolation definition on identical integer inputs) is a "
+        "one-row aggregate broadcast to a map-side filter — at 100 TB the "
+        "quantile would come from an approx sketch (q_agg_approx_"
+        "percentile's machinery) with the same two-phase shape: tiny "
+        "global statistic, then one streaming pass."
+    ),
+)
+def q_llm_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("len_min"),
+            F.max("n_chars").alias("len_max"),
+        )
+    )
