@@ -63,12 +63,14 @@ SCALE_OPS = [
     "q_llm_dedup_url",
     "q_graph_triangles",
     "q_graph_jaccard_neighbors",
-    # q_graph_pagerank is omitted from the ratio table: its edge table is
-    # eagerly localCheckpoint-ed at plan-build time (the iterative-engine
-    # discipline), so a mat() timing would exclude the derivation Spark
-    # already paid while DuckDB's oracle re-derives edges every run — an
-    # apples-to-oranges ratio. Its scale shape (per-round equi-join +
-    # partial agg) is asserted in the plan audit instead.
+    # Graph-op timings run on the eagerly localCheckpoint-ed edge table
+    # (_copurchase_edges), so they measure the ALGORITHM on materialized
+    # edges while DuckDB's oracle re-derives edges inside every run. The
+    # one-time derivation cost is therefore timed and printed separately
+    # below — read spark_graph_total = derivation + per-op times when
+    # comparing end-to-end. q_graph_pagerank stays out of the ratio table
+    # (6 chained iterations make its oracle CTE-materialization-bound, a
+    # recursion-engine comparison already covered by dedup_cluster).
     # q_llm_dedup_editdist stays at the sf0.1 tier: length-banding blocks
     # O(n²) only when lengths cluster; on this corpus's uniform 100-600
     # char spread, 50k docs put ~1.6k docs per 16-char band, i.e. ~10⁸
@@ -333,6 +335,18 @@ def main() -> None:
     print(
         f"| HEADLINE TOTAL | {h_spark*1000:.0f} ms | "
         f"{h_duck*1000:.0f} ms | {h_spark/max(h_duck,1e-9):.2f}x |"
+    )
+
+    # One-time graph edge derivation (shared by triangles / jaccard /
+    # pagerank via the plan cache; DuckDB pays it inside every graph query
+    # above). Timed on a fresh build so the checkpoint cost is visible.
+    from kse.queries.graphs import _copurchase_edges
+
+    t0 = time.perf_counter()
+    n_edges = _copurchase_edges(catalog.load(spark, dest, "lineitem")).count()
+    print(
+        f"# graph edge derivation (one-time, checkpointed): "
+        f"{(time.perf_counter() - t0) * 1000:.0f} ms for {n_edges} edges"
     )
 
     # LSH-dedup scale evidence: the candidate set must stay O(n) and the
