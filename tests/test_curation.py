@@ -158,3 +158,39 @@ def test_domain_cap_bounds(spark):
     for r in caps:
         assert r.n_kept == min(200, per_domain[r.domain])
         assert r.floor_chars <= r.chars_kept / r.n_kept  # floor is a lower bound
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    from kse.queries.extras import q_scan_zorder
+
+    rows = q_scan_zorder(spark, SF_T2).collect()
+    assert len(rows) >= 2
+    li = load(spark, SF_T2, "lineitem")
+    gmax_pk = li.agg(F.max(F.col("l_partkey") % 65536)).collect()[0][0]
+    gmax_sk = li.agg(F.max(F.col("l_suppkey") % 65536)).collect()[0][0]
+    # every z-bucket spans a bounded sub-range of BOTH dimensions — the
+    # min/max statistics a z-ordered file layout would expose for pruning
+    for r in rows:
+        assert r.pk_min <= r.pk_max and r.sk_min <= r.sk_max
+    worst_pk = max(r.pk_max - r.pk_min for r in rows)
+    assert worst_pk < gmax_pk  # strictly tighter than the global range
+    assert sum(r.n_rows for r in rows) == li.count()
+
+
+def test_length_filter_bounds_follow_percentiles(spark):
+    import numpy as np
+
+    from kse.queries.llm import q_llm_length_filter
+
+    docs = load(spark, SF_T2, "documents").select("n_chars", "lang").collect()
+    lens = np.array([r.n_chars for r in docs])
+    lo, hi = np.percentile(lens, 5), np.percentile(lens, 95)
+    kept = [(r.lang, r.n_chars) for r in docs if lo <= r.n_chars <= hi]
+    ref: dict[str, list[int]] = {}
+    for lang, n in kept:
+        ref.setdefault(lang, []).append(n)
+    got = {r.lang: r for r in q_llm_length_filter(spark, SF_T2).collect()}
+    assert set(got) == set(ref)
+    for lang, ns in ref.items():
+        r = got[lang]
+        assert (r.n_kept, r.len_min, r.len_max) == (len(ns), min(ns), max(ns))
