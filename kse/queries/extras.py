@@ -1361,3 +1361,35 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sk").alias("sk_max"),
         )
     )
+
+
+@register(
+    "q_agg_regression",
+    oracle="""
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc=(
+        "SQL:2003 linear-regression aggregates (regr_slope / intercept / "
+        "r2 / count) — per-group OLS of price on quantity in one "
+        "partially-aggregated pass: every regr_* is algebraic over the "
+        "same five running sums (n, Σx, Σy, Σxx, Σxy), so the map-side "
+        "combiner ships five doubles per group regardless of row count — "
+        "the mergeable-statistic shape that makes distributed OLS one "
+        "shuffle at 100 TB. Rounded to 6 dp: the running sums accumulate "
+        "in engine-specific order (same tolerance discipline as "
+        "q_agg_stats' corr/covar)."
+    ),
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
