@@ -179,3 +179,78 @@ def test_dist_prefix_sum_matches_naive_property(spark, pairs):
         run += w
         want[i] = run
     assert got == want
+
+
+word_docs = st.lists(
+    st.lists(st.sampled_from([f"w{i}" for i in range(12)]), min_size=1, max_size=10),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_shingles(words):
+    n = max(len(words) - 2, 1)
+    return [" ".join(words[i : i + 3]) for i in range(n)]
+
+
+def _py_hash60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@settings(**SETTINGS)
+@given(word_docs)
+def test_simhash_matches_python_reference(spark, docs):
+    """The codegen explode/aggregate fingerprint path must equal a direct
+    Python implementation of the Charikar construction — guards the hot
+    path against refactors that change hashing or bit assembly."""
+    from kse.queries.llm import _simhash_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id LONG, text STRING"
+    )
+    got = {r.doc_id: r.simhash for r in _simhash_fingerprints(df).collect()}
+    for i, ws in enumerate(docs):
+        sums = [0] * 60
+        for w in ws:
+            h = _py_hash60(w)
+            for b in range(60):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        expect = sum(1 << b for b in range(60) if sums[b] > 0)
+        assert got[i] == expect
+
+
+@settings(**SETTINGS)
+@given(word_docs)
+def test_minhash_pairs_match_python_reference(spark, docs):
+    """The codegen signature path must produce exactly the candidate pairs
+    of a direct Python implementation of the banding construction."""
+    from kse.queries.llm import _MH_A, _MH_B, minhash_candidate_pairs
+
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id LONG, text STRING"
+    )
+    got = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(df).collect()}
+
+    def bands(ws):
+        vals = [_py_hash60(s) for s in _py_shingles(ws)]
+        mh = [
+            min(a * (v >> 30) + b * (v & 1073741823) + s for v in vals)
+            for s, (a, b) in enumerate(zip(_MH_A, _MH_B))
+        ]
+        return [
+            hashlib.md5(",".join(str(x) for x in mh[k * 4 : k * 4 + 4]).encode()).hexdigest()
+            for k in range(4)
+        ]
+
+    sigs = [bands(ws) for ws in docs]
+    expect = {
+        (i, j)
+        for i in range(len(docs))
+        for j in range(i + 1, len(docs))
+        if any(sigs[i][k] == sigs[j][k] for k in range(4))
+    }
+    assert got == expect
