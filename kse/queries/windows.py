@@ -130,12 +130,26 @@ def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_sliding_frame",
     oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+       (CAST(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT))
+             OVER w AS BIGINT) / 1000000.0)
+         / (count(*) OVER w) AS mov_avg
 FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
-    doc="Sliding 3-row moving average per supplier over ship-date order.",
+    doc=(
+        "Sliding 3-row moving average per supplier over ship-date order. "
+        "The frame SUM goes through integer micro-units (the dsum "
+        "discipline, _util.py): Spark evaluates sliding frames "
+        "incrementally (add the entering row, retract the leaving row), "
+        "so a double sum accumulates different float error than DuckDB's "
+        "direct per-frame fold and a rounded average occasionally "
+        "straddles the rounding quantum at sf0.1 row counts (observed: "
+        "1-in-600k). Integer frame sums are exact under both evaluation "
+        "strategies; the division back to double is then deterministic on "
+        "identical inputs — no rounding needed at all."
+    ),
 )
 def q_win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -144,11 +158,15 @@ def q_win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(-2, Window.currentRow)
     )
+    scaled = F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5)
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.avg("l_extendedprice").over(w), 4).alias("mov_avg"),
+        (
+            (F.sum(scaled).over(w) / F.lit(1000000.0))
+            / F.count(F.lit(1)).over(w)
+        ).alias("mov_avg"),
     )
 
 
