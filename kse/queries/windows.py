@@ -141,14 +141,15 @@ WINDOW w AS (PARTITION BY l_suppkey
     doc=(
         "Sliding 3-row moving average per supplier over ship-date order. "
         "The frame SUM goes through integer micro-units (the dsum "
-        "discipline, _util.py): Spark evaluates sliding frames "
-        "incrementally (add the entering row, retract the leaving row), "
-        "so a double sum accumulates different float error than DuckDB's "
-        "direct per-frame fold and a rounded average occasionally "
-        "straddles the rounding quantum at sf0.1 row counts (observed: "
-        "1-in-600k). Integer frame sums are exact under both evaluation "
-        "strategies; the division back to double is then deterministic on "
-        "identical inputs — no rounding needed at all."
+        "discipline, _util.py): engines evaluate bounded sliding frames "
+        "with different accumulation strategies (incremental "
+        "add/retract, segment-tree combination, per-frame refold), so a "
+        "double frame-sum carries engine-specific float error and a "
+        "rounded average occasionally straddles the rounding quantum at "
+        "sf0.1 row counts (observed: 1-in-600k). Integer frame sums are "
+        "exact under every evaluation strategy; the division back to "
+        "double is then deterministic on identical inputs — no rounding "
+        "needed at all."
     ),
 )
 def q_win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
