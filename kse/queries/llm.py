@@ -855,10 +855,10 @@ def q_llm_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .withColumn(
             "cos_raw",
-            _dot_q()
-            / (
+            F.try_divide(
+                _dot_q(),
                 F.expr(_NORM.format(c="embedding"))
-                * F.expr(_NORM.format(c="q_embedding"))
+                * F.expr(_NORM.format(c="q_embedding")),
             ),
         )
     )
@@ -909,10 +909,10 @@ def q_llm_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .withColumn(
             "cos_raw",
-            _dot_q()
-            / (
+            F.try_divide(
+                _dot_q(),
                 F.expr(_NORM.format(c="embedding"))
-                * F.expr(_NORM.format(c="q_embedding"))
+                * F.expr(_NORM.format(c="q_embedding")),
             ),
         )
     )
@@ -1029,8 +1029,10 @@ def q_llm_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cand.withColumn(
         "cos_raw",
-        _dot_q()
-        / (F.expr(_NORM.format(c="embedding")) * F.expr(_NORM.format(c="q_embedding"))),
+        F.try_divide(
+            _dot_q(),
+            F.expr(_NORM.format(c="embedding")) * F.expr(_NORM.format(c="q_embedding")),
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
@@ -1087,12 +1089,14 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = pairs.withColumn(
         "cos_raw",
-        F.expr(
-            "aggregate(zip_with(a.embedding, q_embedding,"
-            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        / (F.expr(_NORM.format(c="a.embedding")) * F.expr(_NORM.format(c="q_embedding"))),
+        F.try_divide(
+            F.expr(
+                "aggregate(zip_with(a.embedding, q_embedding,"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+            F.expr(_NORM.format(c="a.embedding")) * F.expr(_NORM.format(c="q_embedding")),
+        ),
     )
     mx = scored.groupBy(F.col("a.vec_id").alias("vec_id")).agg(
         F.round(F.max("cos_raw"), 4).alias("max_bucket_cos")
@@ -2350,8 +2354,10 @@ def q_llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_emb = qvec.select(F.col("embedding").alias("q_embedding"))
     scored = candidates.crossJoin(F.broadcast(q_emb)).withColumn(
         "cos_raw",
-        _dot_q()
-        / (F.expr(_NORM.format(c="embedding")) * F.expr(_NORM.format(c="q_embedding"))),
+        F.try_divide(
+            _dot_q(),
+            F.expr(_NORM.format(c="embedding")) * F.expr(_NORM.format(c="q_embedding")),
+        ),
     )
     return (
         scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
@@ -2380,7 +2386,9 @@ def q_llm_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.round(nrm, 6).alias("l2_norm"),
-        F.round(F.expr("CAST(embedding[0] AS DOUBLE)") / nrm, 6).alias("e1_normed"),
+        F.round(
+            F.try_divide(F.expr("CAST(embedding[0] AS DOUBLE)"), nrm), 6
+        ).alias("e1_normed"),
     )
 
 

@@ -1,0 +1,96 @@
+"""Degenerate-input robustness: every pipeline operator must plan and
+execute over EMPTY and near-empty tables without raising — the shapes a
+partitioned 100 TB run actually produces (empty partitions, a filter
+that eliminates a whole source, a first incremental batch with three
+rows)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+def _plant(tmp_path, n_docs: int, n_vecs: int) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = tmp_path / f"edge_sf_{n_docs}_{n_vecs}"
+    sf_dir.mkdir()
+    # explicit schemas: empty list-columns otherwise infer as plain double
+    doc_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(n_docs)),
+                "text": [f"alpha beta gamma delta epsilon w{i}" for i in range(n_docs)],
+                "lang": ["en"] * n_docs,
+                "source": ["src0"] * n_docs,
+                "n_chars": [34] * n_docs,
+            },
+            schema=doc_schema,
+        ),
+        sf_dir / "documents.parquet",
+    )
+    vec_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(n_vecs)),
+                "embedding": [[float(i % 7) / 7.0] * 64 for i in range(n_vecs)],
+                "label": [i % 3 for i in range(n_vecs)],
+            },
+            schema=vec_schema,
+        ),
+        sf_dir / "embeddings.parquet",
+    )
+    return str(sf_dir)
+
+
+_DOC_OPS = [
+    "q_llm_dedup_exact",
+    "q_llm_dedup_minhash",
+    "q_llm_dedup_simhash",
+    "q_llm_dedup_cluster",
+    "q_llm_dedup_url",
+    "q_llm_domain_cap",
+    "q_llm_containment",
+    "q_llm_chunk",
+    "q_llm_length_filter",
+    "q_llm_text_stats",
+    "q_llm_quality_filter",
+]
+_VEC_OPS = ["q_llm_kmeans", "q_llm_sim_knn", "q_llm_embed_stats"]
+
+
+@pytest.mark.parametrize("n_docs,n_vecs", [(0, 0), (1, 1), (3, 3)])
+def test_pipeline_ops_survive_degenerate_inputs(spark, tmp_path, n_docs, n_vecs):
+    from kse import catalog, registry
+
+    sf_dir = _plant(tmp_path, n_docs, n_vecs)
+    qs = registry.all_queries()
+    try:
+        for name in _DOC_OPS + _VEC_OPS:
+            rows = qs[name].fn(spark, sf_dir).collect()
+            assert isinstance(rows, list)  # executed without raising
+            if n_docs == 0:
+                # nothing fabricated from nothing
+                if name in _DOC_OPS:
+                    assert len(rows) == 0 or name in ("q_llm_text_stats",)
+    finally:
+        for tbl in ("documents", "embeddings"):
+            catalog._RELATION_CACHE.pop((id(spark), sf_dir, tbl), None)
+        registry.invalidate_plans(sf_dir, spark)
