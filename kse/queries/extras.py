@@ -1095,7 +1095,10 @@ def _events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type"
             ).parquet(dest)
         _PPART_DIRS[key] = dest
-    return spark.read.parquet(dest)
+    # explicit schema: an EMPTY source writes only _SUCCESS (no partition
+    # dirs), and schema inference over zero files fails — the same reason
+    # every production reader of a possibly-empty layout declares its schema
+    return spark.read.schema(t(spark, sf_dir, "events").schema).parquet(dest)
 
 
 @register(

@@ -494,7 +494,10 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.lit('"]}'),
     )
-    v = F.parse_json(doc)
+    # try_parse_json: malformed payloads become a NULL variant (and NULL
+    # extractions) instead of failing the batch — the ingest-robust form;
+    # identical to parse_json on every well-formed row
+    v = F.try_parse_json(doc)
     return e.select(
         "event_id",
         F.variant_get(v, "$.p.k", "int").alias("k"),

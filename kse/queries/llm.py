@@ -1262,8 +1262,13 @@ def q_llm_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
 
     def ratio(pattern: str, src) -> F.Column:
+        # try_divide: an empty document (n_chars = 0) gets NULL ratios
+        # instead of failing the whole pass under ANSI mode
         return F.round(
-            F.length(F.regexp_replace(src, pattern, "")).cast("double") / F.col("n_chars"),
+            F.try_divide(
+                F.length(F.regexp_replace(src, pattern, "")).cast("double"),
+                F.col("n_chars"),
+            ),
             6,
         )
 

@@ -94,3 +94,64 @@ def test_pipeline_ops_survive_degenerate_inputs(spark, tmp_path, n_docs, n_vecs)
         for tbl in ("documents", "embeddings"):
             catalog._RELATION_CACHE.pop((id(spark), sf_dir, tbl), None)
         registry.invalidate_plans(sf_dir, spark)
+
+
+def _synth_value(dtype, i: int):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.IntegerType,)):
+        return i
+    if isinstance(dtype, T.LongType):
+        return i
+    if isinstance(dtype, T.DoubleType):
+        return float(i) + 0.5
+    if isinstance(dtype, T.StringType):
+        return f"tok{i} alpha beta"
+    if isinstance(dtype, (T.TimestampNTZType, T.TimestampType)):
+        return datetime(2024, 1, 1) + timedelta(minutes=i)
+    if isinstance(dtype, T.ArrayType):
+        return [float(i + 1) / 7.0] * 64
+    raise AssertionError(f"unhandled type {dtype}")
+
+
+def _plant_full(tmp_path, spark, n_rows: int) -> str:
+    from kse.catalog import SCHEMAS
+
+    sf_dir = tmp_path / f"edge_full_{n_rows}"
+    sf_dir.mkdir()
+    for name, schema in SCHEMAS.items():
+        rows = [
+            tuple(_synth_value(f.dataType, i) for f in schema.fields)
+            for i in range(n_rows)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(sf_dir / f"{name}.parquet"))
+    return str(sf_dir)
+
+
+@pytest.mark.parametrize("n_rows", [0, 3])
+def test_every_registered_query_survives_tiny_tables(spark, tmp_path, n_rows):
+    """The whole registry must plan and execute on 0-row and 3-row
+    versions of every catalog table: empty partitions, empty groups,
+    empty graphs, single-element frames — the degenerate shapes any
+    incremental or heavily-filtered 100 TB run produces. Found real
+    bugs on first run (zero-norm cosine divide-by-zero)."""
+    from kse import catalog, registry
+
+    sf_dir = _plant_full(tmp_path, spark, n_rows)
+    failures = []
+    try:
+        for name, q in registry.all_queries().items():
+            try:
+                rows = q.fn(spark, sf_dir).collect()
+                assert isinstance(rows, list)
+            except Exception as exc:  # noqa: BLE001 — collecting a report
+                failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:160]}")
+    finally:
+        for tbl in catalog.SCHEMAS:
+            catalog._RELATION_CACHE.pop((id(spark), sf_dir, tbl), None)
+        registry.invalidate_plans(sf_dir, spark)
+    assert not failures, "\n".join(failures)
