@@ -2251,10 +2251,20 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decoder would call PIL here; the Spark-side contract is identical.
         for pdf in batches:
             out = pdf[["doc_id"]].copy()
-            out["n_bytes"] = pdf["payload"].map(len).astype("int64")
-            out["width"] = pdf["meta"].map(lambda m: m["w"]).astype("int32")
-            out["height"] = pdf["meta"].map(lambda m: m["h"]).astype("int32")
-            out["checksum"] = pdf["payload"].map(lambda b: sum(b) % 65536).astype("int64")
+            # null-guard every field: a NULL text row arrives as None
+            # payload / None meta fields, and must yield NULLs, not crash
+            out["n_bytes"] = pdf["payload"].map(
+                lambda b: None if b is None else len(b)
+            )
+            out["width"] = pdf["meta"].map(
+                lambda m: None if m is None or m["w"] is None else int(m["w"])
+            )
+            out["height"] = pdf["meta"].map(
+                lambda m: None if m is None or m["h"] is None else int(m["h"])
+            )
+            out["checksum"] = pdf["payload"].map(
+                lambda b: None if b is None else sum(b) % 65536
+            )
             yield out
 
     return with_blob.mapInPandas(

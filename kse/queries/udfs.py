@@ -40,7 +40,11 @@ FROM documents
 )
 def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.udf(returnType=IntegerType())
-    def vowel_count(s: str) -> int:
+    def vowel_count(s: str) -> int | None:
+        # JVM expressions null-propagate automatically; a Python UDF sees
+        # None and must handle it itself (matching the oracle's NULL out)
+        if s is None:
+            return None
         return sum(1 for ch in s if ch in "aeiou")
 
     d = t(spark, sf_dir, "documents")
@@ -64,8 +68,13 @@ FROM embeddings
 def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf(DoubleType())
     def l2_norm(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (batch, 64) float32
-        return pd.Series(np.sqrt((mat.astype(np.float64) ** 2).sum(axis=1)))
+        arrs = vecs.to_numpy()
+        mask = np.array([a is not None for a in arrs])
+        out = np.empty(len(arrs), dtype=object)  # None -> NULL, as the oracle
+        if mask.any():
+            mat = np.stack(arrs[mask]).astype(np.float64)  # (batch, 64)
+            out[mask] = np.sqrt((mat**2).sum(axis=1))
+        return pd.Series(out)
 
     e = t(spark, sf_dir, "embeddings")
     return e.select("vec_id", "label", F.round(l2_norm("embedding"), 6).alias("l2_norm"))
@@ -95,14 +104,18 @@ GROUP BY ex.vec_id, ex.label
 )
 def q_udf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     def centroid_dist(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        centroid = mat.mean(axis=0)
-        dist = np.sqrt(((mat - centroid) ** 2).sum(axis=1))
+        arrs = pdf["embedding"].to_numpy()
+        mask = np.array([a is not None for a in arrs])
+        dist = np.empty(len(arrs), dtype=object)  # NULL vectors -> NULL dist
+        if mask.any():
+            mat = np.stack(arrs[mask]).astype(np.float64)
+            centroid = mat.mean(axis=0)
+            dist[mask] = np.round(np.sqrt(((mat - centroid) ** 2).sum(axis=1)), 6)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],
                 "label": pdf["label"],
-                "centroid_dist": np.round(dist, 6),
+                "centroid_dist": dist,
             }
         )
 
@@ -132,6 +145,8 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: int, token: string")
     class Tokenize:
         def eval(self, text: str):
+            if text is None:  # NULL doc -> no rows, like LATERAL over NULL
+                return
             for i, tok in enumerate(text.split(" ")[:5]):
                 yield i, tok
 
@@ -194,14 +209,16 @@ def q_udf_simhash_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fingerprint(batches):
         bits = np.arange(60, dtype=np.uint64)
         for pdf in batches:
-            out_ids = pdf["doc_id"].to_numpy()
-            sims = np.empty(len(pdf), dtype=np.int64)
-            for i, hs in enumerate(pdf["hs"]):
+            out_ids, sims = [], []
+            for doc_id, hs in zip(pdf["doc_id"], pdf["hs"]):
+                if hs is None:  # NULL text: JVM explode drops the doc too
+                    continue
                 h = np.asarray(hs, dtype=np.uint64)
                 # (n_tokens x 60) bit matrix -> ±1 sums -> majority bits
                 bm = ((h[:, None] >> bits) & 1).astype(np.int64)
                 sums = (2 * bm - 1).sum(axis=0)
-                sims[i] = int(((sums > 0).astype(np.uint64) << bits).sum())
+                out_ids.append(doc_id)
+                sims.append(int(((sums > 0).astype(np.uint64) << bits).sum()))
             yield pd.DataFrame({"doc_id": out_ids, "simhash": sims})
 
     return hashed.mapInPandas(fingerprint, "doc_id LONG, simhash LONG")

@@ -116,32 +116,42 @@ def _synth_value(dtype, i: int):
     raise AssertionError(f"unhandled type {dtype}")
 
 
-def _plant_full(tmp_path, spark, n_rows: int) -> str:
+def _plant_full(tmp_path, spark, n_rows: int, nulls: bool = False) -> str:
     from kse.catalog import SCHEMAS
 
-    sf_dir = tmp_path / f"edge_full_{n_rows}"
+    sf_dir = tmp_path / f"edge_full_{n_rows}_{int(nulls)}"
     sf_dir.mkdir()
+    key_suffixes = ("key", "_id", "id")
     for name, schema in SCHEMAS.items():
-        rows = [
-            tuple(_synth_value(f.dataType, i) for f in schema.fields)
-            for i in range(n_rows)
-        ]
+        rows = []
+        for i in range(n_rows):
+            row = []
+            for j, f in enumerate(schema.fields):
+                is_key = any(f.name.endswith(sfx) for sfx in key_suffixes)
+                if nulls and not is_key and (i + j) % 2 == 0:
+                    row.append(None)
+                else:
+                    row.append(_synth_value(f.dataType, i))
+            rows.append(tuple(row))
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(str(sf_dir / f"{name}.parquet"))
     return str(sf_dir)
 
 
-@pytest.mark.parametrize("n_rows", [0, 3])
-def test_every_registered_query_survives_tiny_tables(spark, tmp_path, n_rows):
-    """The whole registry must plan and execute on 0-row and 3-row
-    versions of every catalog table: empty partitions, empty groups,
-    empty graphs, single-element frames — the degenerate shapes any
+@pytest.mark.parametrize("n_rows,nulls", [(0, False), (3, False), (4, True)])
+def test_every_registered_query_survives_tiny_tables(spark, tmp_path, n_rows, nulls):
+    """The whole registry must plan and execute on 0-row, 3-row, and
+    NULL-riddled versions of every catalog table (keys non-null, every
+    value column alternating NULL): empty partitions, empty groups,
+    empty graphs, single-element frames, NULL payloads — the shapes any
     incremental or heavily-filtered 100 TB run produces. Found real
-    bugs on first run (zero-norm cosine divide-by-zero)."""
+    bugs on first runs: zero-norm cosine divide-by-zero, and six Python
+    UDF/mapInPandas sites that crashed on None where JVM expressions
+    would have null-propagated."""
     from kse import catalog, registry
 
-    sf_dir = _plant_full(tmp_path, spark, n_rows)
+    sf_dir = _plant_full(tmp_path, spark, n_rows, nulls)
     failures = []
     try:
         for name, q in registry.all_queries().items():
