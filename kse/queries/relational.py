@@ -164,6 +164,14 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("header", "true")
         .option("escape", '"')
+        # multiLine: RFC 4180 allows embedded newlines inside quoted
+        # fields, and without it the reader splits such rows (verified
+        # with an adversarial-strings test). The cost is real: multiLine
+        # files are not line-splittable, so each FILE becomes the
+        # parallelism unit — at 100 TB the ingest either writes many
+        # moderate files (as this engine's layout does), or sanitizes
+        # newlines at write time to regain intra-file splitting.
+        .option("multiLine", "true")
         .csv(dest)
     )
 

@@ -165,3 +165,56 @@ def test_every_registered_query_survives_tiny_tables(spark, tmp_path, n_rows, nu
             catalog._RELATION_CACHE.pop((id(spark), sf_dir, tbl), None)
         registry.invalidate_plans(sf_dir, spark)
     assert not failures, "\n".join(failures)
+
+
+def test_file_sources_roundtrip_adversarial_strings(spark, tmp_path):
+    """The CSV/JSONL ingest edges must round-trip RFC-hostile content:
+    commas, embedded quotes, embedded NEWLINES (which silently split
+    rows without multiLine — a real bug this test caught), backslashes,
+    tabs, and non-ASCII. Compared field-for-field against the parquet
+    source."""
+    import pandas as pd
+
+    from kse import catalog
+    from kse.catalog import load
+    from kse.queries.relational import src_csv, src_jsonl
+
+    nasty = [
+        "plain value",
+        "comma, inside",
+        'quote " inside',
+        "embedded\nnewline",
+        "backslash \\ and tab\t",
+        "unicode 汉字 éü",
+    ]
+    sf_dir = tmp_path / "nasty_sf"
+    sf_dir.mkdir()
+    pd.DataFrame(
+        {
+            "n_nationkey": pd.array(range(6), dtype="int32"),
+            "n_name": nasty,
+            "n_regionkey": pd.array([0, 1, 2, 3, 4, 0], dtype="int32"),
+        }
+    ).to_parquet(sf_dir / "nation.parquet", index=False)
+    pd.DataFrame(
+        {
+            "s_suppkey": pd.array(range(6), dtype="int64"),
+            "s_name": nasty,
+            "s_nationkey": pd.array(range(6), dtype="int32"),
+            "s_acctbal": [1.5, -2.25, 0.0, 1e-7, 12345.678901234567, -0.1],
+        }
+    ).to_parquet(sf_dir / "supplier.parquet", index=False)
+    sf = str(sf_dir)
+    try:
+        nat = {tuple(r) for r in load(spark, sf, "nation").collect()}
+        assert {tuple(r) for r in src_csv(spark, sf).collect()} == nat
+        sup = {
+            tuple(r)
+            for r in load(spark, sf, "supplier")
+            .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+            .collect()
+        }
+        assert {tuple(r) for r in src_jsonl(spark, sf).collect()} == sup
+    finally:
+        for tbl in ("nation", "supplier"):
+            catalog._RELATION_CACHE.pop((id(spark), sf, tbl), None)
