@@ -135,20 +135,24 @@ SELECT l_suppkey, l_orderkey, l_linenumber,
          / (count(*) OVER w) AS mov_avg
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
     doc=(
         "Sliding 3-row moving average per supplier over ship-date order. "
-        "The frame SUM goes through integer micro-units (the dsum "
-        "discipline, _util.py): engines evaluate bounded sliding frames "
-        "with different accumulation strategies (incremental "
-        "add/retract, segment-tree combination, per-frame refold), so a "
-        "double frame-sum carries engine-specific float error and a "
-        "rounded average occasionally straddles the rounding quantum at "
-        "sf0.1 row counts (observed: 1-in-600k). Integer frame sums are "
-        "exact under every evaluation strategy; the division back to "
-        "double is then deterministic on identical inputs — no rounding "
+        "Two determinism disciplines, both load-bearing (each was a real "
+        "observed sf0.1 flake): (1) the window ORDER must be a TOTAL "
+        "order — this testdata's (l_orderkey, l_linenumber) is not "
+        "unique (118k duplicate pairs at sf0.1), and under ties the "
+        "frame contents themselves are engine- and even run-dependent, "
+        "so l_extendedprice joins the sort key to make the tuple unique "
+        "(rows tying on the FULL key are interchangeable in every frame "
+        "sum, so full-tie order doesn't matter); (2) the frame SUM goes "
+        "through integer micro-units (the dsum discipline, _util.py) "
+        "because engines evaluate bounded frames with different float "
+        "accumulation strategies (add/retract, segment trees, per-frame "
+        "refold) — integer sums are exact under all of them and the "
+        "division back to double is deterministic, so no rounding is "
         "needed at all."
     ),
 )
@@ -156,7 +160,7 @@ def q_win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(-2, Window.currentRow)
     )
     scaled = F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5)
