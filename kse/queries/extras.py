@@ -1396,3 +1396,76 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n"),
     )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc=(
+        "EXACT distinct counting via mergeable roaring-style bitmaps "
+        "(Spark 3.5 bitmap_* aggregates): bucket each key with "
+        "bitmap_bucket_number, build per-(group, bucket) bitmaps with "
+        "bitmap_construct_agg (partial-aggregating — each executor ships "
+        "one bitmap per bucket, not its raw keys), then sum "
+        "bitmap_count per group. This is the production answer when "
+        "approx_count_distinct's error is not acceptable but a naive "
+        "count(DISTINCT) would shuffle every key occurrence: bitmaps "
+        "make exact distinct MERGEABLE, so rollups across partitions / "
+        "days / shards combine without re-touching raw data. The oracle "
+        "is the plain COUNT(DISTINCT) it must equal exactly."
+    ),
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.bitmap_bucket_number(F.col("l_partkey")).alias("bkt"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("l_partkey"))).alias("bm"))
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_parts")
+    )
+
+
+@register(
+    "q_sql_scd2",
+    oracle="""
+SELECT o_custkey,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       epoch_us(o_orderdate) AS valid_from,
+       epoch_us(lead(o_orderdate) OVER w) AS valid_to,
+       o_totalprice AS attr_price,
+       CAST(lead(o_orderdate) OVER w IS NULL AS BOOLEAN) AS is_current
+FROM orders
+WHERE o_custkey % 100 = 7
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc=(
+        "Slowly-changing-dimension type 2 build: treat each order as a "
+        "change event for its customer and emit versioned rows with "
+        "[valid_from, valid_to) half-open intervals, a version number, "
+        "and an is_current flag — the warehouse pattern every downstream "
+        "as-of join (q_join_range_asof) consumes. One window per "
+        "business key (lead + row_number share the same sort), so the "
+        "whole dimension build is a single shuffle on the key; at 100 TB "
+        "the incremental form runs the same window over (current open "
+        "versions UNION new changes) via MERGE (q_sql_merge). Ordering "
+        "is total (o_orderkey is unique per the key-uniqueness audit)."
+    ),
+)
+def q_sql_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import ts_us
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 7)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("version"),
+        ts_us(F.col("o_orderdate")).alias("valid_from"),
+        ts_us(nxt).alias("valid_to"),
+        F.col("o_totalprice").alias("attr_price"),
+        nxt.isNull().alias("is_current"),
+    )
