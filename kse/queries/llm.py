@@ -2749,14 +2749,16 @@ _KM_UPDATES = 2  # centroid-update rounds before the final assignment
 _KM_DIMS = 64  # embedding dimensionality (TESTDATA.md)
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> str:
     """Unrolled Lloyd's iterations as a DuckDB CTE chain, bit-identical to
     the Spark plan: squared-L2 distances fold over dimensions in index
     order (list_sum(list_transform(...)) == aggregate(zip_with(...)) —
     same left-to-right double accumulation, the parity the kNN family
     already relies on), and centroid means go through integer-scaled
     coordinate sums (exact, order-independent) so the only float ops are
-    deterministic element-wise arithmetic on identical inputs."""
+    deterministic element-wise arithmetic on identical inputs. Returns
+    the CTE body (reused by q_llm_kmeans and q_llm_dedup_semantic); the
+    final assignment lives in CTE ``assign{_KM_UPDATES + 1}``."""
     dist = (
         "list_sum(list_transform(range(1, 65), "
         "i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i])))"
@@ -2784,9 +2786,13 @@ def _kmeans_oracle() -> str:
                 f"FROM assign{i}, (SELECT unnest(range(1, 65)) AS i)) "
                 "GROUP BY cid, dim) GROUP BY cid)"
             )
+    return ",\n".join(ctes)
+
+
+def _kmeans_oracle() -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + _kmeans_ctes()
         + f"\nSELECT vec_id, cid AS cluster FROM assign{_KM_UPDATES + 1}"
     )
 
@@ -2861,6 +2867,98 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_KM_UPDATES):
         cent = _km_update(_km_assign(vecs, cent))
     return _km_assign(vecs, cent).select("vec_id", F.col("cid").alias("cluster"))
+
+
+_SEMDEDUP_TAU = 0.9
+
+_E_DOT = (
+    "aggregate(zip_with(a.e, b.e, (x, y) -> x * y),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_E_NORM = (
+    "sqrt(aggregate(transform({c}, x -> x * x),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+
+@register(
+    "q_llm_dedup_semantic",
+    oracle="WITH "
+    + _kmeans_ctes()
+    + f""",
+fin AS (SELECT vec_id, cid, e FROM assign{_KM_UPDATES + 1}),
+prs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+          * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))) AS cos
+  FROM fin a JOIN fin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+per AS (
+  SELECT vec_id, max(cos) AS m
+  FROM (SELECT va AS vec_id, cos FROM prs UNION ALL SELECT vb, cos FROM prs)
+  GROUP BY vec_id
+)
+SELECT f.vec_id, f.cid AS cluster,
+       round(coalesce(per.m, -2.0), 4) AS max_cluster_cos,
+       coalesce(per.m, -2.0) > {_SEMDEDUP_TAU} AS would_drop
+FROM fin f LEFT JOIN per USING (vec_id)
+""",
+    doc=(
+        "SemDeDup (Abbas et al. 2023): semantic dedup with K-MEANS "
+        "CLUSTERS AS THE BUCKETING — embed, cluster, then compare "
+        "cosines only WITHIN each cluster and drop near-identical "
+        f"members above tau={_SEMDEDUP_TAU}. Composes this registry's "
+        "own k-means (identical centroids, same oracle CTEs) with the "
+        "cosine machinery of the kNN family; output is one row per "
+        "vector (max within-cluster cosine, -2 sentinel for singleton "
+        "clusters, and the drop verdict), so the result is total and "
+        "non-empty at every sf. Scale shape: the pair join is an "
+        "equi-join on cluster id — n^2/k per cluster, the paper's own "
+        "tradeoff, tuned by raising k with corpus size (k-means|| "
+        "init at 100 TB); contrast q_llm_dedup_embed, which buckets by "
+        "LSH instead — the two ends of the recall/cost spectrum for "
+        "embedding dedup."
+    ),
+)
+def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    cent = vecs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    for _ in range(_KM_UPDATES):
+        cent = _km_update(_km_assign(vecs, cent))
+    fin = _km_assign(vecs, cent)
+    a, b = fin.alias("a"), fin.alias("b")
+    prs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        F.try_divide(
+            F.expr(_E_DOT),
+            F.expr(_E_NORM.format(c="a.e")) * F.expr(_E_NORM.format(c="b.e")),
+        ).alias("cos"),
+    )
+    per = (
+        prs.select(F.col("va").alias("vec_id"), "cos")
+        .union(prs.select(F.col("vb").alias("vec_id"), "cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("m"))
+    )
+    return (
+        fin.join(per, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            F.round(F.coalesce("m", F.lit(-2.0)), 4).alias("max_cluster_cos"),
+            (F.coalesce("m", F.lit(-2.0)) > _SEMDEDUP_TAU).alias("would_drop"),
+        )
+    )
 
 
 @register(
