@@ -194,3 +194,61 @@ def test_length_filter_bounds_follow_percentiles(spark):
     for lang, ns in ref.items():
         r = got[lang]
         assert (r.n_kept, r.len_min, r.len_max) == (len(ns), min(ns), max(ns))
+
+
+def test_semdedup_flags_planted_near_identical_vectors(spark, tmp_path):
+    """Two nearly-identical planted embeddings must land in the same
+    k-means cluster and flag each other above the SemDeDup threshold,
+    while well-separated vectors stay unflagged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kse import catalog, registry
+    from kse.queries.llm import _KM_K, q_llm_dedup_semantic
+
+    rng_vecs = []
+    # K well-separated seed vectors (axis-aligned, one per init centroid)
+    for i in range(_KM_K):
+        v = [0.0] * 64
+        v[i * 8] = 1.0
+        rng_vecs.append(v)
+    # a near-duplicate pair close to centroid 0, plus a lone far vector
+    dup_a = [0.0] * 64
+    dup_a[0] = 1.0
+    dup_a[1] = 0.05
+    dup_b = [0.0] * 64
+    dup_b[0] = 1.0
+    dup_b[1] = 0.06
+    lone = [0.0] * 64
+    lone[4] = 1.0  # distinct from every seed axis (seeds use multiples of 8)
+    all_vecs = rng_vecs + [dup_a, dup_b, lone]
+    sf_dir = tmp_path / "sem_sf"
+    sf_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(len(all_vecs))),
+                "embedding": all_vecs,
+                "label": [0] * len(all_vecs),
+            },
+            schema=pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int32()),
+                ]
+            ),
+        ),
+        sf_dir / "embeddings.parquet",
+    )
+    sf = str(sf_dir)
+    try:
+        res = {r.vec_id: r for r in q_llm_dedup_semantic(spark, sf).collect()}
+        ida, idb, idl = _KM_K, _KM_K + 1, _KM_K + 2
+        assert res[ida].cluster == res[idb].cluster
+        assert res[ida].would_drop and res[idb].would_drop
+        assert res[ida].max_cluster_cos > 0.99
+        assert not res[idl].would_drop
+    finally:
+        catalog._RELATION_CACHE.pop((id(spark), sf, "embeddings"), None)
+        registry.invalidate_plans(sf, spark)

@@ -119,6 +119,13 @@ REQUIRED = {
     "q_graph_pagerank": [
         ("message aggregation is partial (combiner) per round", r"partial_sum"),
     ],
+    "q_agg_bitmap_distinct": [
+        ("bitmaps built map-side (partial bitmap_construct_agg)", r"partial_bitmap_construct_agg"),
+    ],
+    "q_sql_scd2": [
+        ("version numbering and validity share one window sort", r"Window"),
+        ("customer filter pushed to parquet", r"PushedFilters"),
+    ],
 }
 
 # query -> [(property label, regex that must NOT match the executed plan)]
@@ -163,6 +170,9 @@ FORBIDDEN = {
     "q_graph_pagerank": [
         ("no cartesian product (scalar N joins are broadcast)", r"CartesianProduct"),
         ("no global range-sort", r"rangepartitioning"),
+    ],
+    "q_llm_dedup_semantic": [
+        ("pair generation is a cluster-id equi-join, never all-pairs", r"CartesianProduct"),
     ],
 }
 
