@@ -109,11 +109,15 @@ def main() -> None:
     # one task) — a query at ~floor is floor-bound, not plan-bound.
     one_row = spark.range(1)
     materialize(one_row)
-    floor = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        materialize(one_row)
-        floor = min(floor, time.perf_counter() - t0)
+
+    def floor_sample(best: float, n: int = 5) -> float:
+        for _ in range(n):
+            t0 = time.perf_counter()
+            materialize(one_row)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    floor = floor_sample(float("inf"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name in errors:
@@ -126,6 +130,14 @@ def main() -> None:
                 break
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4) if best != float("inf") else -1.0
+    # Re-sample the floor AFTER the timed loop and keep the min: a load
+    # spike during either window would otherwise inflate (or deflate) the
+    # adjustment. Clamp at the fastest measured query — a floor estimate
+    # above a real query time is by definition contaminated.
+    floor = floor_sample(floor)
+    positive = [v for v in timings.values() if v > 0]
+    if positive:
+        floor = min(floor, min(positive))
 
     # transparent comparator: the same oracle queries timed on DuckDB
     # in-process (the BASELINE.md protocol), so each round's JSON carries
@@ -233,6 +245,19 @@ def main() -> None:
         out["duckdb_queries"] = duck
         out["duckdb_total"] = duck_total
         out["ratio_vs_duckdb_live"] = round(spark_total / duck_total, 3)
+        # Work-time ratios: subtract the measured dispatch floor (the fixed
+        # cost EVERY Spark action pays on this host: plan dispatch + job
+        # schedule + one task round-trip) from each query before comparing
+        # with the in-process baseline, which pays no such cost. On
+        # single-digit-ms baseline rows the raw ratio mostly measures the
+        # floor; this field is the per-query plan-cost comparison.
+        out["floor_adjusted_ratios"] = {
+            name: round(max(timings[name] - floor, 0.0) / duck[name], 3)
+            for name in duck
+            if timings.get(name, -1) > 0 and duck[name] > 0
+        }
+        adj_total = sum(max(v - floor, 0.0) for v in timings.values() if v > 0)
+        out["floor_adjusted_ratio_vs_duckdb_live"] = round(adj_total / duck_total, 3)
     # BASELINE.md's recorded DuckDB numbers for the same 8 queries (survey
     # session protocol) sum to 1.0297 s — kept here so the JSON carries
     # both comparisons. Live DuckDB runs faster than the recorded baseline;

@@ -508,8 +508,18 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fn_xml",
+    # The Spark side assembles the fragment with F.concat, which
+    # null-propagates: a NULL event_type OR value makes the whole XML
+    # string NULL, so from_xml yields a NULL struct and BOTH extracted
+    # children are NULL. The oracle mirrors that exactly instead of
+    # projecting the raw columns — parity holds under NULL-riddled data,
+    # not just the current NULL-free testdata.
     oracle="""
-SELECT event_id, event_type AS t, value AS v
+SELECT event_id,
+       CASE WHEN event_type IS NULL OR value IS NULL THEN NULL
+            ELSE event_type END AS t,
+       CASE WHEN event_type IS NULL OR value IS NULL THEN NULL
+            ELSE value END AS v
 FROM events
 """,
     doc=(
@@ -517,9 +527,11 @@ FROM events
         "into an XML fragment, then parse it back with an explicit struct "
         "schema and extract typed children — the ingest shape for "
         "feed/config XML columns. The oracle projects the original "
-        "columns, so the hash gate proves a bit-exact round-trip "
-        "(including double -> shortest-repr text -> double). Map-only; "
-        "the parse happens inside codegen, no shuffle."
+        "columns (with the assembly's concat null-propagation mirrored: "
+        "any NULL input nulls the whole parsed struct), so the hash gate "
+        "proves a bit-exact round-trip (including double -> "
+        "shortest-repr text -> double). Map-only; the parse happens "
+        "inside codegen, no shuffle."
     ),
 )
 def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,8 +568,17 @@ FROM events
 )
 def q_fn_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    line = F.concat_ws(
-        ",", F.col("event_id"), F.col("event_type"), F.col("value").cast("string")
+    # NOT concat_ws: it SKIPS nulls, which would shift later fields left
+    # (a NULL event_type would make `value` parse as column b). Explicit
+    # comma concat keeps field positions; a NULL field yields an empty
+    # slot that from_csv reads back as NULL, matching the oracle's raw
+    # projection even on NULL-riddled data.
+    line = F.concat(
+        F.coalesce(F.col("event_id").cast("string"), F.lit("")),
+        F.lit(","),
+        F.coalesce(F.col("event_type"), F.lit("")),
+        F.lit(","),
+        F.coalesce(F.col("value").cast("string"), F.lit("")),
     )
     parsed = F.from_csv(line, "a LONG, b STRING, c DOUBLE")
     return e.select(

@@ -40,22 +40,43 @@ edges AS (
 )"""
 
 
-def _copurchase_edges(li: DataFrame) -> DataFrame:
+_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected co-purchase edges ``(u, v)`` with ``u < v`` between parts
     sharing >= _MIN_COOCCUR orders. One self-join on the order key (bounded
     per-group fan-out) + one partial-aggregating groupBy; the HAVING filter
     runs inside the aggregate, so only supported edges leave the shuffle.
 
-    The result is localCheckpoint-ed (eagerly, at plan-build time): every
-    graph query references the edge table 2-6 times, and Spark re-executes
-    the whole derivation subtree per reference (no ReusedExchange fires
-    across differently-keyed joins above it — verified in the executed
-    plan). Materializing the derived edge set once is also exactly what a
-    production graph pipeline does at 100 TB: edges are a shared derived
-    dataset, written once (HDFS checkpoint / table), consumed by every
-    algorithm — the same lineage-truncation discipline as
+    The result is localCheckpoint-ed LAZILY and memoized per
+    (session, sf_dir) — the same discipline as _events_partitioned
+    (extras.py): every graph query references the edge table 2-6 times,
+    and Spark re-executes the whole derivation subtree per reference (no
+    ReusedExchange fires across differently-keyed joins above it —
+    verified in the executed plan). The lazy checkpoint keeps plan
+    CONSTRUCTION side-effect-free (explain / plan audits don't trigger
+    the derivation job); the first action materializes the checkpoint
+    once, and every later reference across the whole graph family reuses
+    it. That's exactly the production shape at 100 TB: edges are a shared
+    derived dataset, written once (HDFS checkpoint / table), consumed by
+    every algorithm — the same lineage-truncation discipline as
     min_label_components (llm.py). tools/scale10.py times the one-time
     derivation separately so the per-query numbers don't hide it."""
+    key = (id(spark), sf_dir)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    edges = _copurchase_edges_from(
+        t(spark, sf_dir, "lineitem")
+    ).localCheckpoint(eager=False)
+    _EDGE_CACHE[key] = edges
+    return edges
+
+
+def _copurchase_edges_from(li: DataFrame) -> DataFrame:
+    """Pure (uncached, uncheckpointed) edge derivation from any lineitem-
+    shaped frame — the unit the planted-graph tests exercise directly."""
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
     return (
@@ -70,7 +91,6 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _MIN_COOCCUR)
         .select("u", "v")
-        .localCheckpoint(eager=True)
     )
 
 
@@ -99,7 +119,7 @@ JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
     ),
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _copurchase_edges(t(spark, sf_dir, "lineitem"))
+    e = _copurchase_edges(spark, sf_dir)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -141,7 +161,10 @@ def _pagerank_oracle() -> str:
     return (
         f"WITH {_EDGE_CTE},\n"
         + ",\n".join(ctes)
-        + f"\nSELECT node, pr FROM pr{_PR_ITERS}"
+        # DuckDB's integer sum promotes to HUGEINT (-> float64 in pandas);
+        # cast the output so the oracle's dtype matches Spark's BIGINT and
+        # the driver's exact value hash compares like-for-like (_util.py rule).
+        + f"\nSELECT node, CAST(pr AS BIGINT) AS pr FROM pr{_PR_ITERS}"
     )
 
 
@@ -166,9 +189,9 @@ def _pagerank_oracle() -> str:
     ),
 )
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _copurchase_edges(t(spark, sf_dir, "lineitem"))
+    e = _copurchase_edges(spark, sf_dir)
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=False)  # lazy: plan build stays side-effect-free
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     n = deg.agg(F.count(F.lit(1)).alias("c"))
     pr = deg.crossJoin(n).select(
@@ -224,7 +247,7 @@ JOIN deg dv ON dv.node = c.v
     ),
 )
 def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _copurchase_edges(t(spark, sf_dir, "lineitem"))
+    e = _copurchase_edges(spark, sf_dir)
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     a, b = sym.alias("a"), sym.alias("b")

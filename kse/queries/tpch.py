@@ -1,0 +1,551 @@
+"""TPC-H-adapted decision-support suite over the engine's star schema.
+
+The classic TPC-H queries are the lingua franca of analytics engines —
+a user of any warehouse engine runs shapes like these daily. The
+testdata is TPC-H-ish (no partsupp table; some columns such as
+l_commitdate / l_shipmode / c_phone absent), so each query is the
+standard formulation adapted to the available columns, with the
+adaptation stated in its docstring. All are value-verified against
+DuckDB running the same SQL (driver hash gate), using the repo's
+oracle-parity disciplines from _util.py: integer-micro-unit sums for
+double aggregates (order-independent, cross-engine exact), BIGINT
+casts on counts, explicit unique tie-breaks on every top-k.
+
+Scale notes common to the family: the dimension sides (region, nation,
+customer, supplier, part at their relative sizes) broadcast; the fact
+table (lineitem) never moves except to shuffle on its aggregation or
+join key; filters sit against the parquet scan (PushedFilters), and
+date-range predicates would prune partitions on a date-partitioned
+100 TB layout. These are exactly the plans AQE + Catalyst pick from
+the declarative form — nothing here is hand-scheduled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kse.queries._util import dsum, t
+from kse.registry import register
+
+# oracle twin of _util.dsum for revenue = extendedprice * (1 - discount)
+_REV = (
+    "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)"
+    " AS BIGINT)) AS BIGINT) / 1000000.0"
+)
+
+
+def _rev(alias: str) -> F.Column:
+    return dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), alias)
+
+
+@register(
+    "q_tpch_q3",
+    oracle=f"""
+SELECT l_orderkey, {_REV} AS revenue, CAST(o_orderdate AS VARCHAR) AS o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-01-01'
+  AND l_shipdate > DATE '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc=(
+        "TPC-H Q3 (shipping priority), adapted: no o_shippriority column, "
+        "otherwise standard — top-10 unshipped orders of BUILDING-segment "
+        "customers by revenue. Plan shape: the filtered customer dimension "
+        "broadcasts into orders, lineitem joins on its shuffle key, the "
+        "revenue aggregate combines map-side, and the top-10 runs as "
+        "TakeOrderedAndProject (per-partition heaps + driver merge of 10 "
+        "rows), never a global sort. Exact integer-micro-unit revenue "
+        "makes the ordering (and therefore the top-10 SET) deterministic "
+        "across engines; l_orderkey breaks remaining ties."
+    ),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_rev("revenue"))
+        .select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("string").alias("o_orderdate")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    doc=(
+        "TPC-H Q4 (order priority checking), adapted: the testdata has no "
+        "l_commitdate/l_receiptdate, so 'late' means a lineitem shipped "
+        "more than 60 days after the order date — same EXISTS-correlated "
+        "shape, counting late orders per priority for one quarter. "
+        "Catalyst rewrites the EXISTS into a LEFT SEMI join on "
+        "l_orderkey (one row per order no matter how many late lines), "
+        "with the date filter pushed to the orders scan. At 100 TB the "
+        "semi join shuffles both sides on orderkey once; the quarter "
+        "filter is the partition-prune predicate."
+    ),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q_tpch_q5",
+    oracle=f"""
+SELECT n_name, {_REV} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+""",
+    doc=(
+        "TPC-H Q5 (local supplier volume), standard: revenue per nation "
+        "for orders where the customer and supplier share a nation inside "
+        "one region and one year. The canonical star-join: region->nation "
+        "prune broadcasts down into supplier and customer, lineitem joins "
+        "orders on the fact keys, and the c_nationkey = s_nationkey "
+        "equality closes the loop. Every dimension side is broadcast-"
+        "sized; lineitem shuffles only on its join keys; the final "
+        "aggregate is 25-ish groups with map-side combine."
+    ),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    snr = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(snr),
+            (li.l_suppkey == snr.s_suppkey) & (c.c_nationkey == snr.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(_rev("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 1000000 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc=(
+        "TPC-H Q6 (forecasting revenue change), standard: one scan, three "
+        "pushed predicates, one global sum — the purest pushdown/codegen "
+        "probe in the suite. All three filters reach the parquet reader "
+        "(PushedFilters), the projection prunes to 4 columns, and the "
+        "whole query is a single WholeStageCodegen span with a partial "
+        "sum per partition + one-row final combine: zero shuffle of data "
+        "rows at any scale."
+    ),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+@register(
+    "q_tpch_q7",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year, {_REV} AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""",
+    doc=(
+        "TPC-H Q7 (volume shipping), adapted: nation pair NATION_1/"
+        "NATION_2 (the testdata's names) and the shipdate-year span kept "
+        "unrestricted since the data covers 7 years. Trade volume between "
+        "two nations by direction and year. The two nation lookups "
+        "broadcast; the disjunctive pair predicate evaluates after both "
+        "(tiny) joins; lineitem-orders is the only real shuffle. Group "
+        "key cardinality is 2 directions x 7 years."
+    ),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(_rev("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle="""
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT) AS vol,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT)
+         AS nation_vol,
+       CAST(sum(vol) AS BIGINT) AS total_vol,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS DOUBLE)
+             / sum(vol), 6) AS mkt_share
+FROM base GROUP BY o_year
+""",
+    doc=(
+        "TPC-H Q8 (national market share), adapted: NATION_3's share of "
+        "AMERICA-region ECONOMY-type revenue by order year (testdata "
+        "names; no partsupp so supplier joins via lineitem only). The "
+        "share is a conditional-sum / total-sum ratio computed in ONE "
+        "aggregation pass over integer micro-unit volumes — exact "
+        "numerator and denominator, so the rounded ratio is bit-stable "
+        "across engines. Part, customer-nation-region, and "
+        "supplier-nation all broadcast; lineitem-orders is the only "
+        "fact-fact shuffle."
+    ),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cnr = c.join(
+        F.broadcast(n1.join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == n1.n_nationkey,
+    )
+    vol = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000.0 + 0.5
+    )
+    nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)))
+    total_vol = F.sum(vol)
+    return (
+        F.broadcast(p)
+        .join(li, p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(cnr, cnr.c_custkey == o.o_custkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            nation_vol.alias("nation_vol"),
+            total_vol.alias("total_vol"),
+            F.round(nation_vol.cast("double") / total_vol, 6).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q10",
+    oracle=f"""
+SELECT c_custkey, c_name, {_REV} AS revenue, c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc=(
+        "TPC-H Q10 (returned item reporting), adapted: no c_address/"
+        "c_phone/c_comment columns, otherwise standard — top-20 customers "
+        "by revenue lost to returns in one quarter. The returnflag filter "
+        "pushes into the lineitem scan, the quarter filter into orders; "
+        "nation broadcasts; the top-20 is TakeOrderedAndProject over the "
+        "exact integer revenue with c_custkey as the unique tie-break."
+    ),
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_rev("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle="""
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+           THEN CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)
+           ELSE 0 END) AS DOUBLE)
+       / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)),
+       6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+""",
+    doc=(
+        "TPC-H Q14 (promotion effect), standard shape: percentage of one "
+        "month's revenue from PROMO-type parts (testdata's p_type domain "
+        "is single words, so the LIKE 'PROMO%' of the spec degenerates to "
+        "equality). Part broadcasts into the month-filtered lineitem "
+        "scan; conditional and total sums run in the same exact "
+        "integer-unit aggregation pass; one output row."
+    ),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = t(spark, sf_dir, "part")
+    vol = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000.0 + 0.5
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * promo.cast("double") / F.sum(vol), 6).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       o_totalprice, sum(l_quantity) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+""",
+    doc=(
+        "TPC-H Q18 (large volume customer), standard: orders whose total "
+        "quantity exceeds 300 units, with customer context. The IN "
+        "subquery is a self-aggregation of lineitem that Catalyst plans "
+        "as a semi join against the (tiny) qualifying-key set; quantities "
+        "are whole numbers, so the double sum is exact on both engines. "
+        "At 100 TB the HAVING aggregate combines map-side and the "
+        "qualifying keys broadcast back into the fact join."
+    ),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li.join(F.broadcast(big), "l_orderkey"), o.o_orderkey == F.col("l_orderkey"))
+        .groupBy(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"), "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle=f"""
+SELECT {_REV} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+    doc=(
+        "TPC-H Q19 (discounted revenue), adapted: no l_shipmode/"
+        "l_shipinstruct columns, so the disjunction keeps its brand/size/"
+        "quantity structure only. The OR-of-ANDs predicate is the classic "
+        "optimizer probe: Catalyst extracts the common p_partkey join and "
+        "pushes the per-table conjuncts (p_brand IN (...), p_size ranges, "
+        "l_quantity bounds) below the join as scan filters, evaluating "
+        "the full disjunction only on surviving rows. Part broadcasts; "
+        "single exact-sum output row."
+    ),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & q.between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & q.between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & q.between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_rev("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         / 1000000.0 AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT ab FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '2000-01-01')
+GROUP BY c_nationkey
+""",
+    doc=(
+        "TPC-H Q22 (global sales opportunity), adapted: no c_phone, so "
+        "grouping is by c_nationkey instead of country code, and 'never "
+        "ordered' becomes 'no order since 2000' — the synthetic data "
+        "gives every customer at least one order, which would make the "
+        "spec predicate vacuous; the lapsed-customer form keeps the "
+        "anti join non-degenerate AND adds a pushed date filter on the "
+        "anti side. Otherwise the standard shape: well-funded customers "
+        "(balance above the positive-balance average) with no recent "
+        "orders. Three classic "
+        "constructs in one plan: an uncorrelated scalar subquery "
+        "(computed once, broadcast as a literal-like filter), an anti "
+        "join against orders for NOT EXISTS, and an exact integer-unit "
+        "balance sum. The anti join shuffles on custkey; at 100 TB a "
+        "bloom-pruned variant (q_join_bloom_prune) cuts the probe side "
+        "first. The average itself is compared raw: both engines compute "
+        "the same double from the same scan, and the filter only needs "
+        "consistent, not portable, tie behavior at these values — "
+        "verified by the hash gate."
+    ),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("ab"), "inner")
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01")
+    never = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return never.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum(F.col("c_acctbal"), "totacctbal"),
+    )

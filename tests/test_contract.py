@@ -261,3 +261,29 @@ def test_tolerance_comparator_aligns_rows_on_key_columns():
     assert mod.compare_tol(spark_pdf2, duck_pdf2, 0.05) == []
     bad = pd.DataFrame({"scope": ["a", "b"], "est": [150.0, 200.0]})
     assert mod.compare_tol(spark_pdf2, bad, 0.05) != []
+
+
+def test_comparator_flags_int_float_dtype_drift():
+    """Regression pin for the q_graph_pagerank r03 driver failure: a
+    DuckDB HUGEINT aggregate materializes as float64 while Spark emits
+    int64; the values np.isclose-match, but the driver's value hash
+    distinguishes 5 from 5.0. The local comparator must therefore FAIL
+    on int-vs-float dtype drift (it used to exempt it), so an uncast
+    oracle aggregate is caught before the driver sees it."""
+    import importlib.util
+    import os
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "check_mod2", os.path.join(os.path.dirname(__file__), "..", "tools", "check.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    spark_pdf = pd.DataFrame({"node": [1, 2], "pr": pd.array([5, 7], dtype="int64")})
+    duck_pdf = pd.DataFrame({"node": [1, 2], "pr": pd.array([5.0, 7.0], dtype="float64")})
+    errs = mod.compare(spark_pdf, duck_pdf)
+    assert any("dtype" in e for e in errs)
+    # like-typed frames stay clean
+    assert mod.compare(spark_pdf, spark_pdf.copy()) == []

@@ -13,7 +13,7 @@ from kse.catalog import load
 from kse.queries.graphs import (
     _MIN_COOCCUR,
     _PR_SCALE,
-    _copurchase_edges,
+    _copurchase_edges_from,
     q_graph_jaccard_neighbors,
     q_graph_pagerank,
     q_graph_triangles,
@@ -36,14 +36,14 @@ def _planted_lineitem(spark):
 
 
 def test_copurchase_edges_planted(spark):
-    edges = {(r.u, r.v) for r in _copurchase_edges(_planted_lineitem(spark)).collect()}
+    edges = {(r.u, r.v) for r in _copurchase_edges_from(_planted_lineitem(spark)).collect()}
     assert edges == {(1, 2), (1, 3), (2, 3)}  # the triangle; (1,4) support=1 pruned
     assert _MIN_COOCCUR == 2
 
 
 def test_triangles_match_bruteforce(spark):
     li = load(spark, SF_T2, "lineitem")
-    edges = {(r.u, r.v) for r in _copurchase_edges(li).collect()}
+    edges = {(r.u, r.v) for r in _copurchase_edges_from(li).collect()}
     adj: dict[int, set[int]] = {}
     for u, v in edges:
         adj.setdefault(u, set()).add(v)
@@ -72,7 +72,7 @@ def test_pagerank_mass_and_determinism(spark):
 
 def test_jaccard_neighbors_bounds_and_bruteforce(spark):
     li = load(spark, SF_T2, "lineitem")
-    edges = [(r.u, r.v) for r in _copurchase_edges(li).collect()]
+    edges = [(r.u, r.v) for r in _copurchase_edges_from(li).collect()]
     nbrs: dict[int, set[int]] = {}
     for u, v in edges:
         nbrs.setdefault(u, set()).add(v)

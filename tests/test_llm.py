@@ -58,6 +58,22 @@ def test_minhash_output_nonempty_everywhere(spark):
     assert out.count() == 500  # one row per doc even with zero candidates
 
 
+def test_minhash_fast_recall_and_volume(spark):
+    """Contract of the xxhash64 production path (q_llm_dedup_minhash_fast):
+    identical banding math means identical behavior on HIGH-Jaccard pairs
+    (every planted exact duplicate must be found — P(candidate)=1 at j=1
+    for any hash family), while the mid-similarity candidate tail is
+    sampled differently per family, so the sets are NOT equal; the volume
+    check pins both paths to the same O(n) candidate regime."""
+    truth = _planted_dup_pairs(spark)
+    assert len(truth) == 8
+    d = load(spark, SF_BENCH, "documents")
+    slow = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(d).collect()}
+    fast = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(d, fast=True).collect()}
+    assert truth <= fast  # 100% recall on exact duplicates
+    assert len(fast) <= 2 * len(slow) and len(slow) <= 2 * len(fast)
+
+
 def test_simhash_identical_docs_equal_fingerprints(spark):
     sims = {r.doc_id: r.simhash for r in q_llm_dedup_simhash(spark, SF_BENCH).collect()}
     for a, b in _planted_dup_pairs(spark):

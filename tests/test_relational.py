@@ -237,3 +237,18 @@ def test_variant_extraction_matches_json_string_path(spark):
         | (F.col("u") != F.col("user_id"))
         | (F.col("tag0") != F.col("event_type"))
     ).count() == 0
+
+
+def test_scd2_incremental_equals_full_rebuild(spark):
+    """The incremental SCD2 apply (historical batch + delta batch split at
+    a date boundary) must be row-for-row identical to rebuilding the
+    dimension from the whole change feed — q_sql_scd2 IS that full
+    rebuild over the same feed, so the two queries must agree exactly."""
+    from kse.queries.extras import q_sql_scd2, q_sql_scd2_incremental
+
+    from .conftest import SF_T2
+
+    full = {tuple(r) for r in q_sql_scd2(spark, SF_T2).collect()}
+    inc = {tuple(r) for r in q_sql_scd2_incremental(spark, SF_T2).collect()}
+    assert full == inc
+    assert len(full) > 0

@@ -19,6 +19,40 @@ from kse.streaming.sources import file_events, parse_props, rate_events
 from .conftest import ev, write_event_chunk
 
 
+# Spark bundles the RocksDB state store provider (the provider a real
+# cluster runs: state off-heap + incremental checkpoint); the stateful
+# tests parametrize over both providers so the applyInPandasWithState
+# operators are proven against the production store, not just the
+# in-memory HDFS-backed default.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDERS = pytest.mark.parametrize(
+    "provider", [None, ROCKSDB_PROVIDER], ids=["hdfs-default", "rocksdb"]
+)
+
+
+def _state_provider(spark, provider):
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        if provider is not None:
+            spark.conf.set(key, provider)
+        try:
+            yield
+        finally:
+            if provider is not None:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
+
+    return _cm()
+
+
 def _run_to_memory(df, name: str, tmp_path, mode: str = "update"):
     q = (
         df.writeStream.format("memory")
@@ -162,7 +196,8 @@ def test_stream_stream_join(spark, tmp_events_dir, tmp_path, tmp_path_factory):
     assert [(r.left_event_id, r.right_event_id) for r in rows] == [(1, 2)]
 
 
-def test_stateful_user_profiles(spark, tmp_events_dir, tmp_path):
+@_PROVIDERS
+def test_stateful_user_profiles(spark, tmp_events_dir, tmp_path, provider):
     write_event_chunk(
         tmp_events_dir,
         "000.json",
@@ -173,7 +208,10 @@ def test_stateful_user_profiles(spark, tmp_events_dir, tmp_path):
         ],
     )
     name = f"prof_{uuid.uuid4().hex[:8]}"
-    _run_to_memory(ST.user_profiles(file_events(spark, tmp_events_dir)), name, tmp_path)
+    with _state_provider(spark, provider):
+        _run_to_memory(
+            ST.user_profiles(file_events(spark, tmp_events_dir)), name, tmp_path
+        )
     got = {r.user_id: (r.n_events, r.total_value, r.last_type)
            for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert got[1] == (2, 10.5, "purchase")
@@ -514,7 +552,8 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_events_dir, tmp_path):
     assert final[2] == (1, 5.0)
 
 
-def test_stateful_ttl_evicts_expired_user_state(spark, tmp_events_dir, tmp_path):
+@_PROVIDERS
+def test_stateful_ttl_evicts_expired_user_state(spark, tmp_events_dir, tmp_path, provider):
     """Event-time TTL: once the watermark passes a user's timeout, their
     state is emitted once as expired and removed — the bounded-state
     mechanism for churning populations. User 1 goes quiet, a later event
@@ -542,7 +581,10 @@ def test_stateful_ttl_evicts_expired_user_state(spark, tmp_events_dir, tmp_path)
         tmp_events_dir, "002.json", [ev(4, "2024-01-01T12:01:00Z", user_id=99)]
     )
     name = f"ttl_{uuid.uuid4().hex[:8]}"
-    _run_to_memory(ST.counts_with_ttl(file_events(spark, tmp_events_dir)), name, tmp_path)
+    with _state_provider(spark, provider):
+        _run_to_memory(
+            ST.counts_with_ttl(file_events(spark, tmp_events_dir)), name, tmp_path
+        )
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     expired = [(r.user_id, r.n_events) for r in rows if r.expired]
     assert (1, 2) in expired  # user 1 evicted with their full count

@@ -82,12 +82,16 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
                 neq = sv.astype(str) != dv.astype(str)
                 i = int(np.argmax(neq.to_numpy()))
                 errs.append(f"col {c}: value mismatch at sorted row {i}: {sv.iloc[i]!r} vs {dv.iloc[i]!r}")
-    # dtype drift report (informational mismatch -> error, since the driver
-    # compares schemas too)
+    # dtype drift -> error. int-vs-float drift is NOT exempt: DuckDB's
+    # integer sums promote to HUGEINT, which pandas materializes as
+    # float64, and the driver's value hash distinguishes 5 from 5.0 —
+    # exactly how q_graph_pagerank passed locally but failed the r03
+    # driver gate. An oracle whose integer column comes back floating
+    # needs CAST(... AS BIGINT), not forgiveness here.
     for c in s.columns:
         sk = np.dtype(spark_pdf[c].dtype).kind
         dk = np.dtype(duck_pdf[c].dtype).kind
-        if sk != dk and {sk, dk} not in ({"i", "f"},):
+        if sk != dk:
             errs.append(f"col {c}: dtype kind spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}")
     return errs
 
