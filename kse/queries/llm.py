@@ -3060,3 +3060,82 @@ def q_llm_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("len_max"),
         )
     )
+
+
+_IB_M = 1 << 22  # bloom bits (sized ~10 bits/key at corpus scale -> <1% fp)
+_IB_K = 4        # hash functions
+
+
+@register(
+    "q_llm_dedup_incremental",
+    oracle="""
+WITH hist AS (
+  SELECT DISTINCT array_to_string(string_split(text, ' ')[1:5], ' ') AS k
+  FROM documents WHERE doc_id % 10 <> 0
+),
+batch AS (
+  SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ' ') AS k
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT b.doc_id, (h.k IS NOT NULL) AS is_dup
+FROM batch b LEFT JOIN hist h ON b.k = h.k
+""",
+    doc=(
+        "Incremental dedup of a NEW batch against a HISTORICAL corpus "
+        "through a Bloom-filter prefilter — the daily-ingest shape of a "
+        "training-data pipeline, where re-joining the full corpus per "
+        "batch is the thing you cannot afford at 100 TB. Key: 5-token "
+        "prefix fingerprint (CCNet-style template/boilerplate catcher; "
+        "exact-text keys drop in unchanged). The Bloom filter is built "
+        "DISTRIBUTIVELY as data: each history key sets K=4 bit positions "
+        "(xxhash64 seeds 0..3 mod M=2^22), the distinct set-bit table IS "
+        "the filter (<= M rows, broadcast-sized by construction), and a "
+        "batch doc is a candidate iff ALL its positions hit — one "
+        "equi-join + one all-positions-set aggregate, no serialized "
+        "filter object and no driver round-trip, and the same shape "
+        "Structured Streaming's foreachBatch would run per micro-batch. "
+        "Bloom filters have NO false negatives, so the exact verify "
+        "(semi join of the candidates against true history keys) makes "
+        "the final answer exact — the oracle is plain exact containment "
+        "and the hash gate proves the prefilter lost nothing. False "
+        "positives only cost verify-join traffic (~1% at 10 bits/key); "
+        "the win is that the wide exact-key shuffle runs over the "
+        "candidate subset, not the whole batch."
+    ),
+)
+def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))
+    hist = d.filter(F.col("doc_id") % 10 != 0).select(key.alias("k")).distinct()
+    batch = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", key.alias("k"))
+
+    def positions(df: DataFrame, *keep: str) -> DataFrame:
+        pos = F.array_distinct(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("k"), F.lit(s)), F.lit(_IB_M))
+                    for s in range(_IB_K)
+                ]
+            )
+        )
+        return df.select(*keep, F.explode(pos).alias("pos"))
+
+    hist_bits = positions(hist).select("pos").distinct().withColumn("hit", F.lit(1))
+    cand = (
+        positions(batch, "doc_id")
+        .join(hist_bits, "pos", "left")
+        .groupBy("doc_id")
+        .agg((F.count(F.lit(1)) == F.count("hit")).alias("all_set"))
+        .filter(F.col("all_set"))
+        .select("doc_id")
+    )
+    dup = (
+        batch.join(cand, "doc_id", "left_semi")  # bloom-candidates only
+        .join(hist, "k", "left_semi")            # exact verify
+        .select("doc_id", F.lit(True).alias("is_dup"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(dup, "doc_id", "left")
+        .select("doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )

@@ -126,6 +126,54 @@ REQUIRED = {
         ("version numbering and validity share one window sort", r"Window"),
         ("customer filter pushed to parquet", r"PushedFilters"),
     ],
+    "q_tpch_q3": [
+        ("segment filter pushed to customer scan", r"PushedFilters: \[[^\]]*c_mktsegment"),
+        ("customer dimension broadcasts", r"BroadcastHashJoin"),
+        ("revenue aggregated map-side", r"partial_sum"),
+        ("top-10 via TakeOrdered, no global sort", r"TakeOrderedAndProject"),
+    ],
+    "q_tpch_q4": [
+        ("EXISTS planned as a semi join", r"LeftSemi"),
+        ("quarter filter pushed to orders scan", r"PushedFilters: \[[^\]]*o_orderdate"),
+    ],
+    "q_tpch_q5": [
+        ("dimension chain broadcasts", r"BroadcastHashJoin"),
+        ("revenue aggregated map-side", r"partial_sum"),
+    ],
+    "q_tpch_q6": [
+        ("all three predicates pushed to the scan", r"PushedFilters: \[[^\]]*l_discount"),
+        ("single-pass partial sum", r"partial_sum"),
+        ("scan-agg stays in whole-stage codegen", r"\*\(\d+\)"),
+    ],
+    "q_tpch_q8": [
+        ("part/supplier/nation dims broadcast", r"BroadcastHashJoin"),
+        ("share numerator+denominator in one partial agg", r"partial_sum"),
+    ],
+    "q_tpch_q10": [
+        ("returnflag filter pushed to lineitem scan", r"PushedFilters: \[[^\]]*l_returnflag"),
+        ("top-20 via TakeOrdered, no global sort", r"TakeOrderedAndProject"),
+    ],
+    "q_tpch_q18": [
+        ("HAVING aggregate combines map-side", r"partial_sum"),
+        ("qualifying keys broadcast back into the fact join", r"BroadcastHashJoin"),
+    ],
+    "q_tpch_q19": [
+        ("brand/size conjuncts pushed below the join", r"PushedFilters: \[[^\]]*(p_brand|p_size)"),
+        ("part broadcasts", r"BroadcastHashJoin"),
+    ],
+    "q_tpch_q22": [
+        ("NOT EXISTS planned as an anti join", r"LeftAnti"),
+        ("recent-order filter pushed to the anti side", r"PushedFilters: \[[^\]]*o_orderdate"),
+    ],
+    "q_llm_dedup_incremental": [
+        ("bloom probe is an equi-join on bit position", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("exact verify is a semi join", r"LeftSemi"),
+        ("all-positions-set check aggregates map-side", r"partial_count"),
+    ],
+    "q_sql_scd2_incremental": [
+        ("delta-sized lookups broadcast", r"BroadcastHashJoin"),
+        ("per-key window over the delta only", r"Window"),
+    ],
 }
 
 # query -> [(property label, regex that must NOT match the executed plan)]
@@ -173,6 +221,21 @@ FORBIDDEN = {
     ],
     "q_llm_dedup_semantic": [
         ("pair generation is a cluster-id equi-join, never all-pairs", r"CartesianProduct"),
+    ],
+    "q_tpch_q3": [
+        ("no global range-sort (top-k is TakeOrdered)", r"rangepartitioning"),
+    ],
+    "q_tpch_q10": [
+        ("no global range-sort (top-k is TakeOrdered)", r"rangepartitioning"),
+    ],
+    "q_tpch_q6": [
+        ("no data-row shuffle (only the one-row final agg exchange)", r"Exchange hashpartitioning"),
+    ],
+    "q_llm_dedup_minhash_fast": [
+        ("fast path keeps the LSH bucket equi-join, not all-pairs", r"NestedLoop|CartesianProduct"),
+    ],
+    "q_llm_dedup_incremental": [
+        ("no batch-x-history cross join anywhere", r"NestedLoop|CartesianProduct"),
     ],
 }
 
