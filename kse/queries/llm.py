@@ -20,6 +20,8 @@ Design rules for 100 TB (stated per operator below):
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -69,6 +71,47 @@ def _shingle() -> F.Column:
         " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
     )
 
+
+def _shingles_exploded(d: DataFrame) -> DataFrame:
+    """(doc_id, s) — one row per 3-token shingle, identical shingle set to
+    ``explode(_shingle())`` but ~6x faster at the 10x tier (measured:
+    0.69 s vs 4.0 s for the same 2.88M shingles). The HOF ``transform``
+    lambda is an interpreted expression that re-evaluates
+    ``split(text)``/``slice`` per output shingle — O(tokens^2) string
+    work per doc outside codegen. This form splits once, explodes
+    tokens, and assembles each shingle from two ``lead()`` peeks over a
+    per-doc window: all codegen, and the window's hashpartitioning on
+    doc_id is exactly the partitioning every downstream per-doc
+    aggregate wants, so the 'extra' shuffle replaces one the consumer
+    would have paid anyway. Docs shorter than 3 tokens degenerate to one
+    shingle of the whole text, same as the slice semantics."""
+    from pyspark.sql.window import Window
+
+    tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "w"))
+    wspec = Window.partitionBy("doc_id").orderBy("i")
+    return (
+        tok.select(
+            "doc_id",
+            "i",
+            F.concat_ws(
+                " ", "w", F.lead("w", 1).over(wspec), F.lead("w", 2).over(wspec)
+            ).alias("s"),
+            F.lead("w", 2).over(wspec).alias("_w2"),
+            F.max("i").over(Window.partitionBy("doc_id")).alias("_mx"),
+        )
+        .filter(F.col("_w2").isNotNull() | ((F.col("_mx") < 2) & (F.col("i") == 0)))
+        .select("doc_id", "s")
+    )
+
+
+def _shingle_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, sh) with sh = the DISTINCT shingle array per doc —
+    the input the exact Jaccard/containment verifiers intersect. Built
+    from the exploded fast path (order is irrelevant to set math)."""
+    return _shingles_exploded(d).groupBy("doc_id").agg(
+        F.array_distinct(F.collect_list("s")).alias("sh")
+    )
+
 _NUM_HASHES = 16
 _BAND_ROWS = 4  # 4 bands x 4 rows; P(candidate) = 1-(1-j^4)^4 — steep at j≈0.8
 
@@ -102,12 +145,20 @@ def minhash_candidate_pairs(d: DataFrame, fast: bool = False) -> DataFrame:
 
     Why not the no-explode form (per-doc aggregate() folds over the
     shingle array)? Measured at the 10x tier: 11.8 s for the fold vs
-    6.2 s for this form, identical pairs. Higher-order-function lambdas
-    run as interpreted expressions outside codegen, so 48M fold steps
-    cost more than 48M generated rows streaming through a codegen'd
-    min-aggregate — the same lesson as _simhash_fingerprints; the
-    shuffles this adds are post-combine (16 + 4 rows per doc), noise at
-    any scale.
+    6.2 s for the generate-and-aggregate form, identical pairs.
+    Higher-order-function lambdas run as interpreted expressions outside
+    codegen, so 48M fold steps cost more than 48M generated rows
+    streaming through a codegen'd min-aggregate — the same lesson as
+    _simhash_fingerprints. Round-4 profiling then moved the remaining
+    cost: (a) shingle generation now comes from _shingles_exploded
+    (window-lead form, ~6x faster than the HOF transform it replaces),
+    and (b) the 16 per-seed minima are 16 PARALLEL min() aggregates in
+    ONE groupBy(doc_id) — no 16x seed-row explosion, no (doc, seed)
+    shuffle, and the groupBy rides the window's existing doc_id
+    partitioning, so the signature stage adds zero exchanges. The
+    minima are over the same per-seed hash set, so signatures (and the
+    DuckDB oracle) are bit-identical to the previous form; measured
+    10x: md5 path 6.5 s -> ~2.3 s, fast path -> ~1.3 s.
 
     ``fast=True`` is the production hashing path: the per-shingle 60-bit
     value comes from ``xxhash64`` (one JVM-intrinsic hash, no hex digest
@@ -119,9 +170,7 @@ def minhash_candidate_pairs(d: DataFrame, fast: bool = False) -> DataFrame:
     two paths agree pair-for-pair at sf0.01 and both find every planted
     sf0.1 duplicate. md5 stays the default because DuckDB can recompute
     it for the exact driver oracle; xxhash64 has no cross-engine twin."""
-    a_lits = ",".join(f"{a}L" for a in _MH_A)
-    b_lits = ",".join(f"{b}L" for b in _MH_B)
-    sh = d.select("doc_id", F.explode(_shingle()).alias("s"))
+    sh = _shingles_exploded(d)
     if fast:
         # mask the signed 64-bit xxhash64 down to a nonnegative 60-bit
         # value so the hi/lo universal mixing below stays overflow-free
@@ -134,19 +183,20 @@ def minhash_candidate_pairs(d: DataFrame, fast: bool = False) -> DataFrame:
             "doc_id",
             F.expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").alias("v"),
         )
-    seeds = v.select("doc_id", "v", F.explode(F.expr("sequence(0, 15)")).alias("seed"))
-    h = seeds.select(
-        "doc_id",
-        "seed",
-        F.expr(
-            f"element_at(array({a_lits}), seed + 1) * shiftright(v, 30)"
-            f" + element_at(array({b_lits}), seed + 1) * (v & 1073741823) + seed"
-        ).alias("hv"),
-    )
-    mh = h.groupBy("doc_id", "seed").agg(F.min("hv").alias("mh"))
-    arr = mh.groupBy("doc_id").agg(
-        F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)").alias(
-            "_mh"
+    mins = [
+        F.min(
+            F.lit(_MH_A[s]) * F.expr("shiftright(v, 30)")
+            + F.lit(_MH_B[s]) * F.expr("v & 1073741823")
+            + F.lit(s)
+        ).alias(f"mh{s}")
+        for s in range(_NUM_HASHES)
+    ]
+    arr = (
+        v.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"mh{s}") for s in range(_NUM_HASHES)]).alias("_mh"),
         )
     )
     band_hash = "xxhash64" if fast else "md5"
@@ -515,37 +565,41 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_fingerprints(d: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — the 60-bit Charikar fingerprint via
-    explode + partial aggregation, the WHOLE-STAGE-CODEGEN path: one
-    60-bit value (first 15 md5 hex chars) per token occurrence, a
-    generated (doc, bit, ±1) stream, and one (doc, bit) hash aggregate
-    whose map-side combiner collapses the 60x generation to 60 rows per
-    doc BEFORE any shuffle, then a per-doc bit reassembly aggregate.
+    """(doc_id, simhash) — the 60-bit Charikar fingerprint, the
+    WHOLE-STAGE-CODEGEN path: one 60-bit value (first 15 md5 hex chars)
+    per token occurrence, then the 60 per-bit ±1 counters as 60 PARALLEL
+    sum() aggregates in a single groupBy(doc_id) — each partition's
+    combiner holds one 60-counter row per doc, so exactly 60 longs per
+    doc cross the one shuffle, and the sign/reassembly step is a flat
+    projection over the 60 columns.
 
-    Measured against the alternative that avoids the generate entirely —
-    a nested aggregate() fold over (tokens x 60 bits) in one projection —
-    this form is ~10x faster at the 10x tier (4.2 s vs 42 s, bit-equal
-    results): higher-order-function lambdas are interpreted row-at-a-time
-    expressions outside codegen, so 180M lambda steps cost far more than
-    180M *generated* rows streaming through a codegen'd hash aggregate.
-    The shuffle the fold saved was already tiny (60 partially-aggregated
-    rows per doc); the lesson is the same one the UDF family documents —
-    what matters at scale is staying on the vectorized/codegen path, not
-    minimizing operator count."""
+    This is the third measured form of the same computation at the 10x
+    tier (bit-equal results all three ways): nested aggregate() HOF fold
+    42 s (interpreted lambdas, 180M steps outside codegen); explode of a
+    (doc, bit) stream + two-level aggregate 4.9 s (codegen, but 180M
+    generated rows + a (doc, bit)-keyed shuffle); 60 parallel aggregates
+    1.8 s (codegen, zero generated rows, one doc-keyed shuffle). The
+    lesson compounds the UDF family's: stay on codegen, THEN stop
+    materializing rows you can fold into aggregate slots."""
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tkn"))
     h = tok.select(
         "doc_id",
         F.expr("cast(conv(substring(md5(tkn), 1, 15), 16, 10) as bigint)").alias("h"),
     )
-    contrib = h.select("doc_id", "h", F.explode(F.expr("sequence(0, 59)")).alias("bit"))
-    sums = contrib.groupBy("doc_id", "bit").agg(
-        F.sum(F.expr("IF((shiftright(h, bit) & 1) = 1, 1, -1)")).alias("s")
+    sums = [
+        F.sum(F.expr(f"IF((shiftright(h, {b}) & 1) = 1, 1, -1)")).alias(f"s{b}")
+        for b in range(60)
+    ]
+    agg = h.groupBy("doc_id").agg(*sums)
+    simhash = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(60),
+        F.lit(0).cast("long"),
     )
-    return sums.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("IF(s > 0, shiftleft(cast(1 as bigint), bit), cast(0 as bigint))")
-        ).alias("simhash")
-    )
+    return agg.select("doc_id", simhash.alias("simhash"))
 
 
 _HAMMING_K = 3  # near-dup threshold; 4 segments of 15 bits (pigeonhole: k+1 segs)
@@ -678,7 +732,7 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 )
 def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    shingled = d.select("doc_id", F.array_distinct(_shingle()).alias("sh"))
+    shingled = _shingle_sets(d)  # exploded fast path; set math is order-free
     pairs = minhash_candidate_pairs(d)
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -743,7 +797,7 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 )
 def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    shingled = d.select("doc_id", F.array_distinct(_shingle()).alias("sh"))
+    shingled = _shingle_sets(d)  # exploded fast path; set math is order-free
     pairs = minhash_candidate_pairs(d)
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -852,15 +906,16 @@ FROM sh
         "Rolling 3-gram document fingerprint: min-md5 over shingles (a "
         "1-perm MinHash with a cross-engine-stable hash). Identical texts "
         "⇒ identical fingerprints; used as a cheap pre-cluster key. "
-        "Per-row lambda work only — embarrassingly parallel."
+        "Computed as min/count-distinct aggregates over the exploded "
+        "shingle stream (codegen) rather than per-row HOF lambdas "
+        "(interpreted, O(tokens^2) re-splitting — see _shingles_exploded)."
     ),
 )
 def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.array_min(F.transform(_shingle(), F.md5)).alias("fingerprint"),
-        F.size(F.array_distinct(_shingle())).alias("n_shingles"),
+    return _shingles_exploded(d).groupBy("doc_id").agg(
+        F.min(F.md5("s")).alias("fingerprint"),
+        F.countDistinct("s").cast("int").alias("n_shingles"),
     )
 
 
@@ -3138,4 +3193,126 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.select("doc_id")
         .join(dup, "doc_id", "left")
         .select("doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+
+
+@register(
+    "q_llm_quality_classifier",
+    oracle="""
+WITH feat AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS cpt,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> list_contains(['the','of','and','to','in','a','is','it'], x))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / n_chars AS digit_ratio
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         -1.2 + 0.8 * (n_tokens / 100.0) + 0.35 * cpt
+              + 2.5 * stop_ratio - 6.0 * digit_ratio AS logit
+  FROM feat
+)
+SELECT doc_id, lang, round(logit, 6) AS logit, (logit > 0.0) AS keep
+FROM scored
+""",
+    doc=(
+        "Model-based quality scoring — the linear-classifier stage "
+        "(fastText/logreg-style quality filters in CCNet/RefinedWeb "
+        "pipelines) with FIXED published-style weights over four cheap "
+        "features: token count, chars/token, stopword ratio, digit "
+        "ratio. Deliberately transcendental-free: the decision runs on "
+        "the raw LOGIT (sigmoid is monotone, so 'score > 0.5' IS "
+        "'logit > 0'), and the logit is only +,*,/ over identical "
+        "parquet doubles — bit-identical across engines, so an ML-ish "
+        "scoring stage sits under the exact hash gate instead of a "
+        "tolerance check. Map-only: no shuffle at any scale; at 100 TB "
+        "this is the shape you want for a first-pass filter (a real "
+        "learned model drops in as a broadcast weight vector + the same "
+        "dot product, or an Arrow pandas_udf for a nonlinear one)."
+    ),
+)
+def q_llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    stops = F.array(*map(F.lit, ["the", "of", "and", "to", "in", "a", "is", "it"]))
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.size(tok).alias("n_tokens"),
+        (F.col("n_chars").cast("double") / F.size(tok)).alias("cpt"),
+        (
+            F.size(
+                F.filter(F.split(F.lower("text"), " "), lambda x: F.array_contains(stops, x))
+            ).cast("double")
+            / F.size(tok)
+        ).alias("stop_ratio"),
+        (
+            F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)).cast("double")
+            / F.col("n_chars")
+        ).alias("digit_ratio"),
+    )
+    logit = (
+        F.lit(-1.2)
+        + 0.8 * (F.col("n_tokens") / 100.0)
+        + 0.35 * F.col("cpt")
+        + 2.5 * F.col("stop_ratio")
+        - 6.0 * F.col("digit_ratio")
+    )
+    return feat.select(
+        "doc_id",
+        "lang",
+        F.round(logit, 6).alias("logit"),
+        (logit > 0.0).alias("keep"),
+    )
+
+
+@register(
+    "q_llm_split_assign",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+           AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY 1, lang
+""",
+    doc=(
+        "Deterministic train/val/test split assignment (90/5/5) by "
+        "content-independent hash bucket — the leakage-safe way to split "
+        "a corpus: md5(doc_id) buckets are stable across reruns, "
+        "engines, and partitionings (no sampling RNG, no order "
+        "dependence), so a doc can never migrate between splits when "
+        "data is added or repartitioned. Output is the split x language "
+        "composition table (doc and token counts) a pipeline logs for "
+        "every freeze. One map + one small aggregate; the md5-derived "
+        "bucket reproduces identically in DuckDB, so even the split "
+        "assignment itself is hash-gate-verified."
+    ),
+)
+def q_llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 100"
+    )
+    return (
+        d.select(
+            F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
     )

@@ -53,6 +53,7 @@ SCALE_OPS = [
     "q_ts_zscore",
     "q_ts_ewma",
     "q_llm_dedup_minhash",
+    "q_llm_dedup_minhash_fast",
     "q_llm_dedup_cluster",
     "q_llm_dedup_cluster_bigstar",
     "q_llm_dedup_simhash",
@@ -344,7 +345,7 @@ def main() -> None:
     from kse.queries.graphs import _copurchase_edges
 
     t0 = time.perf_counter()
-    n_edges = _copurchase_edges(catalog.load(spark, dest, "lineitem")).count()
+    n_edges = _copurchase_edges(spark, dest).count()
     print(
         f"# graph edge derivation (one-time, checkpointed): "
         f"{(time.perf_counter() - t0) * 1000:.0f} ms for {n_edges} edges"
@@ -371,6 +372,19 @@ def main() -> None:
     print(f"# planted near-dup recall: {n_found}/{n_planted}")
     assert n_cand < 20 * n_docs, "candidate blow-up: LSH no longer O(n) on this corpus"
     assert n_found >= 0.85 * n_planted, "LSH recall collapsed on planted near-dups"
+
+    # Same gates for the xxhash64 production path: candidate volume must
+    # stay in the same O(n) regime and planted recall must hold — the
+    # whole point of the fast path is identical banding SEMANTICS at ~3x
+    # less signature cost, so a regression here means the swap broke it.
+    cand_f = minhash_candidate_pairs(d, fast=True).cache()
+    n_cand_f = cand_f.count()
+    n_found_f = planted.join(cand_f, ["doc_a", "doc_b"]).count()
+    cand_f.unpersist()
+    print(f"# minhash-fast candidates: {n_cand_f} ({n_cand_f / n_docs:.2f}/doc)")
+    print(f"# minhash-fast planted recall: {n_found_f}/{n_planted}")
+    assert n_cand_f < 20 * n_docs, "fast-path candidate blow-up"
+    assert n_found_f >= 0.85 * n_planted, "fast-path LSH recall collapsed"
 
 
 if __name__ == "__main__":
