@@ -3206,7 +3206,8 @@ WITH feat AS (
          CAST(len(list_filter(string_split(lower(text), ' '),
               x -> list_contains(['the','of','and','to','in','a','is','it'], x))) AS DOUBLE)
            / len(string_split(text, ' ')) AS stop_ratio,
-         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / n_chars AS digit_ratio
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           / greatest(n_chars, 1) AS digit_ratio
   FROM documents
 ),
 scored AS (
@@ -3251,7 +3252,10 @@ def q_llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stop_ratio"),
         (
             F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)).cast("double")
-            / F.col("n_chars")
+            # greatest(n_chars, 1): a zero-length doc must score, not
+            # throw ANSI DIVIDE_BY_ZERO (caught by the tiny-table sweep);
+            # mirrored in the oracle so both engines stay bit-equal
+            / F.greatest(F.col("n_chars"), F.lit(1))
         ).alias("digit_ratio"),
     )
     logit = (
