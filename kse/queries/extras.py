@@ -1513,11 +1513,19 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ),
 )
 def q_sql_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_incremental_apply(spark, sf_dir, _SCD2_SPLIT)
+
+
+def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> DataFrame:
+    """The incremental apply parameterized by the batch-boundary date —
+    the unit the property test sweeps: for EVERY split (including
+    all-history and all-delta extremes) the result must equal the full
+    rebuild."""
     from kse.queries._util import ts_us
 
     o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 7)
-    hist = o.filter(F.col("o_orderdate") < F.lit(_SCD2_SPLIT).cast("date"))
-    delta = o.filter(F.col("o_orderdate") >= F.lit(_SCD2_SPLIT).cast("date"))
+    hist = o.filter(F.col("o_orderdate") < F.lit(split).cast("date"))
+    delta = o.filter(F.col("o_orderdate") >= F.lit(split).cast("date"))
 
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     # the standing dimension (what a warehouse would already have on disk)

@@ -3121,6 +3121,55 @@ _IB_M = 1 << 22  # bloom bits (sized ~10 bits/key at corpus scale -> <1% fp)
 _IB_K = 4        # hash functions
 
 
+def dedup_key() -> F.Column:
+    """The 5-token prefix fingerprint both the batch query and the
+    streaming foreachBatch apply use as the dedup key."""
+    return F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))
+
+
+def bloom_dup_flags(batch: DataFrame, hist: DataFrame) -> DataFrame:
+    """(doc_id, is_dup) for a ``batch`` of (doc_id, k) rows against a
+    ``hist`` of (k) rows — the reusable core of the incremental dedup:
+    distributed Bloom prefilter (K=4 xxhash64 bit positions, distinct
+    set-bit table as the filter) + exact semi-join verify. No false
+    negatives, so the output equals plain exact containment; the Bloom
+    stage only prunes the probe side of the wide exact-key join. Used
+    by q_llm_dedup_incremental (batch) and the streaming foreachBatch
+    test (per-micro-batch apply against an accumulating history)."""
+    hist = hist.select("k").distinct()
+
+    def positions(df: DataFrame, *keep: str) -> DataFrame:
+        pos = F.array_distinct(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("k"), F.lit(s)), F.lit(_IB_M))
+                    for s in range(_IB_K)
+                ]
+            )
+        )
+        return df.select(*keep, F.explode(pos).alias("pos"))
+
+    hist_bits = positions(hist).select("pos").distinct().withColumn("hit", F.lit(1))
+    cand = (
+        positions(batch, "doc_id")
+        .join(hist_bits, "pos", "left")
+        .groupBy("doc_id")
+        .agg((F.count(F.lit(1)) == F.count("hit")).alias("all_set"))
+        .filter(F.col("all_set"))
+        .select("doc_id")
+    )
+    dup = (
+        batch.join(cand, "doc_id", "left_semi")  # bloom-candidates only
+        .join(hist, "k", "left_semi")            # exact verify
+        .select("doc_id", F.lit(True).alias("is_dup"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(dup, "doc_id", "left")
+        .select("doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+
+
 @register(
     "q_llm_dedup_incremental",
     oracle="""
@@ -3160,40 +3209,9 @@ FROM batch b LEFT JOIN hist h ON b.k = h.k
 )
 def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))
-    hist = d.filter(F.col("doc_id") % 10 != 0).select(key.alias("k")).distinct()
-    batch = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", key.alias("k"))
-
-    def positions(df: DataFrame, *keep: str) -> DataFrame:
-        pos = F.array_distinct(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.col("k"), F.lit(s)), F.lit(_IB_M))
-                    for s in range(_IB_K)
-                ]
-            )
-        )
-        return df.select(*keep, F.explode(pos).alias("pos"))
-
-    hist_bits = positions(hist).select("pos").distinct().withColumn("hit", F.lit(1))
-    cand = (
-        positions(batch, "doc_id")
-        .join(hist_bits, "pos", "left")
-        .groupBy("doc_id")
-        .agg((F.count(F.lit(1)) == F.count("hit")).alias("all_set"))
-        .filter(F.col("all_set"))
-        .select("doc_id")
-    )
-    dup = (
-        batch.join(cand, "doc_id", "left_semi")  # bloom-candidates only
-        .join(hist, "k", "left_semi")            # exact verify
-        .select("doc_id", F.lit(True).alias("is_dup"))
-    )
-    return (
-        batch.select("doc_id")
-        .join(dup, "doc_id", "left")
-        .select("doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
-    )
+    hist = d.filter(F.col("doc_id") % 10 != 0).select(dedup_key().alias("k"))
+    batch = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", dedup_key().alias("k"))
+    return bloom_dup_flags(batch, hist)
 
 
 @register(

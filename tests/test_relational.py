@@ -252,3 +252,20 @@ def test_scd2_incremental_equals_full_rebuild(spark):
     inc = {tuple(r) for r in q_sql_scd2_incremental(spark, SF_T2).collect()}
     assert full == inc
     assert len(full) > 0
+
+
+def test_scd2_incremental_equals_rebuild_for_every_split(spark):
+    """Sweep the batch boundary: mid-feed splits, a split before all data
+    (everything is delta — the bootstrap case) and after all data
+    (everything is history — the no-op apply). Every one must reproduce
+    the full rebuild exactly."""
+    from kse.queries.extras import q_sql_scd2, scd2_incremental_apply
+
+    from .conftest import SF_T2
+
+    full = {tuple(r) for r in q_sql_scd2(spark, SF_T2).collect()}
+    for split in ("1990-01-01", "1996-06-15", "1999-01-01", "2005-01-01"):
+        inc = {
+            tuple(r) for r in scd2_incremental_apply(spark, SF_T2, split).collect()
+        }
+        assert inc == full, f"split {split} diverged from rebuild"

@@ -642,3 +642,63 @@ def test_stream_dedup_within_watermark(spark, tmp_events_dir, tmp_path):
     _run_to_memory(deduped, name, tmp_path, mode="append")
     ids = sorted(r.event_id for r in spark.sql(f"SELECT * FROM {name}").collect())
     assert ids == [1, 2]
+
+
+def test_foreachbatch_incremental_bloom_dedup(spark, tmp_path):
+    """The daily-ingest shape q_llm_dedup_incremental's docstring claims:
+    the SAME bloom_dup_flags core runs per micro-batch inside
+    foreachBatch against an accumulating key history. Two micro-batches
+    (maxFilesPerTrigger=1, distinct mtimes): a doc in batch 2 whose
+    5-token prefix already arrived in batch 1 must flag as dup; fresh
+    docs and batch-1 docs (empty history) must not."""
+    import json as _json
+    import os
+    import time
+
+    from kse.queries.llm import bloom_dup_flags, dedup_key
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    hist_dir = str(tmp_path / "hist")
+    out_dir = str(tmp_path / "flags")
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write("000.json", [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 2, "text": "one two three four five six seven"},
+    ])
+    time.sleep(1.1)  # distinct mtimes => deterministic batch order
+    write("001.json", [
+        {"doc_id": 3, "text": "alpha beta gamma delta epsilon OMEGA"},  # dup prefix of 1
+        {"doc_id": 4, "text": "fresh words never seen before now"},
+    ])
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+    def apply_batch(batch_df, batch_id):
+        keyed = batch_df.select("doc_id", dedup_key().alias("k"))
+        if os.path.exists(os.path.join(hist_dir, "_SUCCESS")):
+            hist = batch_df.sparkSession.read.parquet(hist_dir)
+        else:
+            hist = keyed.select("k").filter(F.lit(False))  # empty, typed
+        bloom_dup_flags(keyed, hist).write.mode("append").parquet(out_dir)
+        keyed.select("k").write.mode("append").parquet(hist_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    flags = {r.doc_id: r.is_dup for r in spark.read.parquet(out_dir).collect()}
+    assert flags == {1: False, 2: False, 3: True, 4: False}
