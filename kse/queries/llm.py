@@ -3338,3 +3338,142 @@ def q_llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "q_llm_sim_ann_recall",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS q_bucket
+      FROM bucketed WHERE vec_id < 8),
+probes AS (
+  SELECT query_id, unnest([q_bucket, xor(q_bucket, 1), xor(q_bucket, 2),
+    xor(q_bucket, 4), xor(q_bucket, 8), xor(q_bucket, 16), xor(q_bucket, 32),
+    xor(q_bucket, 64), xor(q_bucket, 128)]) AS probe
+  FROM q
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_DOT_SQL.format(a='b.embedding', b='q.qe')}
+             / ({_NORM_SQL.format(c='b.embedding')} * {_NORM_SQL.format(c='q.qe')})
+             DESC, b.vec_id) AS rn
+    FROM bucketed b, q WHERE b.vec_id <> q.query_id
+  ) WHERE rn <= 3
+),
+ann1 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_DOT_SQL.format(a='b.embedding', b='q.qe')}
+             / ({_NORM_SQL.format(c='b.embedding')} * {_NORM_SQL.format(c='q.qe')})
+             DESC, b.vec_id) AS rn
+    FROM bucketed b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id
+  ) WHERE rn <= 3
+),
+annm AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_DOT_SQL.format(a='b.embedding', b='q.qe')}
+             / ({_NORM_SQL.format(c='b.embedding')} * {_NORM_SQL.format(c='q.qe')})
+             DESC, b.vec_id) AS rn
+    FROM bucketed b
+    JOIN probes p ON b.bucket = p.probe
+    JOIN q ON q.query_id = p.query_id AND b.vec_id <> q.query_id
+  ) WHERE rn <= 3
+)
+SELECT e.query_id,
+       CAST(count(a1.vec_id) AS BIGINT) AS hits_1probe,
+       CAST(count(am.vec_id) AS BIGINT) AS hits_multiprobe,
+       round(CAST(count(am.vec_id) AS DOUBLE) / 3.0, 4) AS recall_multiprobe
+FROM exact e
+LEFT JOIN ann1 a1 ON e.query_id = a1.query_id AND e.vec_id = a1.vec_id
+LEFT JOIN annm am ON e.query_id = am.query_id AND e.vec_id = am.vec_id
+GROUP BY e.query_id
+""",
+    doc=(
+        "ANN quality evaluation as a first-class query: recall@3 of the "
+        "random-hyperplane LSH index against brute-force exact top-3 "
+        "ground truth, per query vector, for BOTH probing strategies — "
+        "single-bucket (q_llm_sim_lsh_ann's shape) and multi-probe "
+        "(query bucket + all 8 one-bit flips, the standard recall/fan-out "
+        "dial). This is the measurement loop every vector-index "
+        "deployment runs before trusting an index, and it is itself "
+        "deterministic (literal planes, fixed fold order, unique "
+        "tie-breaks), so even the recall numbers sit under the exact "
+        "driver hash gate. On this synthetic corpus the honest result IS "
+        "the lesson: near-random embeddings have no angular structure, "
+        "single-probe recall@3 is 0 and multi-probe lifts it to ~0.13 — "
+        "the evaluator exists precisely to catch an index this bad "
+        "before serving. Plan shape: ground truth is the broadcast-query "
+        "brute-force scan (WindowGroupLimit caps shuffle at queries x "
+        "k), both ANN sides are bucket equi-joins, and the comparison is "
+        "a queries-x-k-sized left join."
+    ),
+)
+def q_llm_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "embedding", _lsh_bucket("embedding"))
+    q = bucketed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    probes = q.select(
+        "query_id",
+        "q_embedding",
+        F.explode(
+            F.array(
+                F.col("q_bucket"),
+                *[F.expr(f"q_bucket ^ {1 << j}") for j in range(8)],
+            )
+        ).alias("probe"),
+    )
+    cos = F.try_divide(
+        _dot_q(),
+        F.expr(_NORM.format(c="embedding")) * F.expr(_NORM.format(c="q_embedding")),
+    )
+
+    def top3(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_raw").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "vec_id")
+        )
+
+    exact = top3(
+        bucketed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", cos)
+    )
+    ann1 = top3(
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).withColumn("cos_raw", cos)
+    )
+    annm = top3(
+        bucketed.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).withColumn("cos_raw", cos)
+    )
+    return (
+        exact.join(ann1.withColumn("h1", F.lit(1)), ["query_id", "vec_id"], "left")
+        .join(annm.withColumn("hm", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("h1").alias("hits_1probe"),
+            F.count("hm").alias("hits_multiprobe"),
+            F.round(F.count("hm").cast("double") / 3.0, 4).alias("recall_multiprobe"),
+        )
+    )
