@@ -170,6 +170,13 @@ REQUIRED = {
         ("exact verify is a semi join", r"LeftSemi"),
         ("all-positions-set check aggregates map-side", r"partial_count"),
     ],
+    "q_llm_sim_ann_recall": [
+        ("ANN probes are bucket equi-joins (queries broadcast)", r"BroadcastHashJoin"),
+        ("all top-3 windows ride WindowGroupLimit", r"WindowGroupLimit"),
+    ],
+    "q_llm_split_assign": [
+        ("composition aggregate combines map-side", r"partial_(count|sum)"),
+    ],
     "q_sql_scd2_incremental": [
         ("delta-sized lookups broadcast", r"BroadcastHashJoin"),
         ("per-key window over the delta only", r"Window"),
@@ -236,6 +243,9 @@ FORBIDDEN = {
     ],
     "q_llm_dedup_incremental": [
         ("no batch-x-history cross join anywhere", r"NestedLoop|CartesianProduct"),
+    ],
+    "q_llm_quality_classifier": [
+        ("scoring is map-only — no shuffle at all", r"Exchange"),
     ],
 }
 
