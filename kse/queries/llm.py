@@ -1189,12 +1189,21 @@ FROM embeddings e LEFT JOIN mx USING (vec_id)
 )
 def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    bucketed = e.select("vec_id", "embedding", _lsh_bucket("embedding"))
+    # Norm computed once per VECTOR before the pair join (identical fold,
+    # identical inputs => bit-identical double as the former per-pair
+    # recomputation), so each candidate pair costs one lambda fold.
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        _lsh_bucket("embedding"),
+        F.expr(_NORM.format(c="embedding")).alias("nrm"),
+    )
     a = bucketed.alias("a")
     b = bucketed.select(
         F.col("vec_id").alias("b_vec_id"),
         F.col("embedding").alias("q_embedding"),
         F.col("bucket").alias("b_bucket"),
+        F.col("nrm").alias("b_nrm"),
     )
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b_bucket")) & (F.col("a.vec_id") != F.col("b_vec_id"))
@@ -1207,7 +1216,7 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
                 " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
             ),
-            F.expr(_NORM.format(c="a.embedding")) * F.expr(_NORM.format(c="q_embedding")),
+            F.col("a.nrm") * F.col("b_nrm"),
         ),
     )
     mx = scored.groupBy(F.col("a.vec_id").alias("vec_id")).agg(
@@ -3043,7 +3052,13 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_KM_UPDATES):
         cent = _km_update(_km_assign(vecs, cent))
-    fin = _km_assign(vecs, cent)
+    # Hoist the norm to one fold PER VECTOR (same fold over the same
+    # values == bit-identical double), so the O(n^2/k) pair join pays one
+    # 64-dim lambda fold per pair, not three; measured 88.7 s -> see
+    # DESIGN.md at the 10x tier. persist() lets the three consumers of
+    # the Lloyd's pipeline (both join sides + the final left join) share
+    # one materialization instead of re-running k-means per branch.
+    fin = _km_assign(vecs, cent).withColumn("nrm", F.expr(_E_NORM.format(c="e"))).persist()
     a, b = fin.alias("a"), fin.alias("b")
     prs = a.join(
         b,
@@ -3052,13 +3067,14 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("va"),
         F.col("b.vec_id").alias("vb"),
         F.try_divide(
-            F.expr(_E_DOT),
-            F.expr(_E_NORM.format(c="a.e")) * F.expr(_E_NORM.format(c="b.e")),
+            F.expr(_E_DOT), F.col("a.nrm") * F.col("b.nrm")
         ).alias("cos"),
     )
+    # One pass over prs: explode each scored pair to its two endpoints
+    # instead of UNIONing the same subplan twice (which executes the
+    # expensive pair join twice — Catalyst does not dedup union branches).
     per = (
-        prs.select(F.col("va").alias("vec_id"), "cos")
-        .union(prs.select(F.col("vb").alias("vec_id"), "cos"))
+        prs.select(F.explode(F.array("va", "vb")).alias("vec_id"), "cos")
         .groupBy("vec_id")
         .agg(F.max("cos").alias("m"))
     )
