@@ -2919,17 +2919,24 @@ def _kmeans_oracle() -> str:
 
 
 def _km_assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
-    dist = F.expr(
-        "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    # Map-only argmin: the k centroids collapse to ONE broadcast row
+    # holding array<struct<cid, c>>, each vector computes its k squared-L2
+    # distances in a single projection, and `array_min` over
+    # struct(dist, cid) picks the assignment with exactly the (dist, cid)
+    # ordering the previous window formulation used — but with ZERO
+    # shuffle and no n*k row explosion carrying the 64-double arrays.
+    # The distance fold is the identical expression, so every double is
+    # bit-identical and the oracle CTEs are untouched.
+    cents = cent.groupBy().agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    pick = F.expr(
+        "array_min(transform(cents, ct -> struct("
+        "aggregate(zip_with(e, ct.c, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS dist,"
+        " ct.cid AS cid)))"
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     return (
-        vecs.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", "e", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "e")
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", pick.getField("cid").alias("cid"), "e")
     )
 
 
@@ -3059,10 +3066,36 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Lloyd's pipeline (both join sides + the final left join) share
     # one materialization instead of re-running k-means per branch.
     fin = _km_assign(vecs, cent).withColumn("nrm", F.expr(_E_NORM.format(c="e"))).persist()
-    a, b = fin.alias("a"), fin.alias("b")
+    # Salt the within-cluster pair join: with only k=8 distinct join keys,
+    # an unsalted equi-join caps at k-way parallelism (and AQE coalesces
+    # the tiny pre-explosion shuffle further — the O(n^2/k) work explodes
+    # AFTER the exchange, where the planner can't see it). One side keys
+    # each vector to a fixed salt, the other replicates to all salts, so
+    # every pair still matches exactly once but the fold work spreads over
+    # k*R tasks — the same discipline q_join_skew_salted documents, and
+    # the required shape once a single cluster outgrows one executor.
+    # The EXPLICIT partition count is load-bearing: AQE sizes the exchange
+    # from its pre-join byte count and would coalesce the tiny vector
+    # table to ~1 partition, serializing the post-join fold work (measured
+    # 44 s vs 7 s at the 10x tier). R=32/128 partitions measured best
+    # among {8,32,64}x{auto,64,128}; replication volume grows with R, so
+    # prefer the smallest R that saturates the cluster.
+    _R = 32
+    a = (
+        fin.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(_R)))
+        .repartition(128, "cid", "salt")
+        .alias("a")
+    )
+    b = (
+        fin.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_R - 1))))
+        .repartition(128, "cid", "salt")
+        .alias("b")
+    )
     prs = a.join(
         b,
-        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("va"),
         F.col("b.vec_id").alias("vb"),

@@ -103,7 +103,6 @@ REQUIRED = {
     ],
     "q_llm_kmeans": [
         ("centroids broadcast to the assignment join", r"BroadcastExchange"),
-        ("argmin window limited to one row per vector", r"WindowGroupLimit"),
         ("centroid update partially aggregated map-side", r"partial_(sum|count)"),
     ],
     "q_llm_domain_cap": [
@@ -228,6 +227,11 @@ FORBIDDEN = {
     ],
     "q_llm_dedup_semantic": [
         ("pair generation is a cluster-id equi-join, never all-pairs", r"CartesianProduct"),
+    ],
+    "q_llm_kmeans": [
+        # assignment is a map-only argmin over a one-row broadcast centroid
+        # array — no per-vector window, no n*k row explosion to shuffle
+        ("assignment argmin is map-only (no window)", r"\bWindow\b"),
     ],
     "q_tpch_q3": [
         ("no global range-sort (top-k is TakeOrdered)", r"rangepartitioning"),
