@@ -549,3 +549,377 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         dsum(F.col("c_acctbal"), "totacctbal"),
     )
+
+
+_MICRO = "CAST(sum(CAST(floor({x} * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0"
+
+
+@register(
+    "q_tpch_q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       {_MICRO.format(x='l_extendedprice')} AS sum_base_price,
+       {_MICRO.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_MICRO.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_qty,
+       ({_MICRO.format(x='l_extendedprice')}) / CAST(count(*) AS BIGINT) AS avg_price,
+       ({_MICRO.format(x='l_discount')}) / CAST(count(*) AS BIGINT) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc=(
+        "TPC-H Q1 (pricing summary report), standard: the canonical "
+        "single-pass aggregation — one lineitem scan, a pushed shipdate "
+        "filter, eight aggregates over six groups. Every sum is exact "
+        "integer-unit arithmetic (dsum discipline) and every average is "
+        "derived from those exact sums by one double division, so the "
+        "whole report is bit-stable across engines and across partition "
+        "orders. The plan is a single WholeStageCodegen span with "
+        "map-side partial aggregation: at 100 TB the only shuffle is six "
+        "groups' worth of partial states per partition."
+    ),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    cnt = F.count(F.lit(1))
+    qty = F.sum(F.col("l_quantity").cast("long"))
+    price_u = F.sum(F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5))
+    disc_u = F.sum(F.floor(F.col("l_discount") * 1000000.0 + 0.5))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            qty.alias("sum_qty"),
+            (price_u / 1000000.0).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                "sum_charge",
+            ),
+            (qty / cnt).alias("avg_qty"),
+            (price_u / 1000000.0 / cnt).alias("avg_price"),
+            (disc_u / 1000000.0 / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle=f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {_REV} AS sum_profit
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+""",
+    doc=(
+        "TPC-H Q9 (product type profit), adapted: no partsupp table, so "
+        "profit omits the ps_supplycost * l_quantity term and reduces to "
+        "discounted revenue — the JOIN TOPOLOGY (lineitem at the center "
+        "of a 4-dimension star, substring predicate on part name, "
+        "group by supplier nation x order year) is the point of the "
+        "query and survives intact. part/supplier/nation broadcast; "
+        "orders co-shuffles with lineitem on orderkey; the LIKE filter "
+        "prunes part BEFORE its broadcast, so the fact rows that survive "
+        "the part join shrink ~proportionally. At 100 TB this is the "
+        "classic 'filter the smallest dim first' plan Catalyst derives "
+        "from the declarative form."
+    ),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_rev("sum_profit"))
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+""",
+    doc=(
+        "TPC-H Q12 (shipping modes and order priority), adapted: no "
+        "l_shipmode/l_commitdate/l_receiptdate, so the group key becomes "
+        "l_returnflag and 'late' is shipped >60 days after the order "
+        "date (the same lateness predicate q_tpch_q4 establishes). The "
+        "essential Q12 construct — conditional CASE-sums splitting one "
+        "pass into priority classes — is intact. The year filter pushes "
+        "to the lineitem scan; the join shuffles both sides on orderkey "
+        "once; the lateness predicate is a post-join filter because it "
+        "references both sides."
+    ),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(li.l_shipdate > F.date_add(o.o_orderdate, 60))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    doc=(
+        "TPC-H Q13 (customer distribution), adapted: the order-exclusion "
+        "predicate moves from o_comment (absent) to o_orderpriority — "
+        "same LEFT-join-with-filtered-right shape, where customers whose "
+        "every order is excluded still appear with c_count = 0. Two "
+        "stacked aggregations: orders-per-customer (shuffle on custkey), "
+        "then the histogram over those counts (shuffle on c_count — "
+        "~dozens of distinct values, fully combined map-side). The "
+        "count(o_orderkey) vs count(*) distinction is load-bearing: "
+        "NULL orderkeys from the left join must not count."
+    ),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q_tpch_q15",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {_REV} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    doc=(
+        "TPC-H Q15 (top supplier), standard: quarterly revenue per "
+        "supplier, then the supplier(s) hitting the maximum — the "
+        "view-plus-scalar-subquery query. The revenue CTE aggregates "
+        "lineitem once (shuffle on suppkey, map-side partials); the max "
+        "is a one-row aggregate broadcast back as a filter; supplier "
+        "broadcasts into the surviving row(s). Ties are kept (all "
+        "suppliers at the max), per spec. The equality filter on a "
+        "double is safe ONLY because total_revenue is exact integer-unit "
+        "arithmetic — the dsum discipline is what makes the spec's "
+        "'= (select max(...))' portable across engines."
+    ),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _rev("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    doc=(
+        "TPC-H Q16 (parts/supplier relationship), adapted: no partsupp, "
+        "so lineitem serves as the observed part-supplier relation, and "
+        "the excluded-supplier subquery keys on s_acctbal < 0 instead of "
+        "the absent s_comment. The shape is intact: a distinct-count of "
+        "suppliers per part attribute triple, minus a NOT-IN supplier "
+        "blacklist. Catalyst turns the NOT IN into a left-anti broadcast "
+        "join (the blacklist is tiny); the distinct-count shuffles "
+        "(brand, type, size, suppkey) once, then counts per group — the "
+        "two-phase distinct that scales, never a per-group set "
+        "collection."
+    ),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+SELECT CAST(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+       / 1000000.0 / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+""",
+    doc=(
+        "TPC-H Q17 (small-quantity-order revenue), adapted: the "
+        "container predicate becomes p_type = 'SMALL' (no p_container "
+        "column); otherwise standard — revenue lost if small-quantity "
+        "orders (below 20% of the part's average quantity) went "
+        "unfulfilled. The correlated scalar average decorrelates into a "
+        "per-part aggregate joined back on partkey: lineitem aggregates "
+        "once on partkey (map-side partials), the filtered part dim "
+        "broadcasts, and the threshold comparison is a map-side filter. "
+        "l_quantity is integer-valued, so avg = exact-int-sum / count is "
+        "order-independent and 0.2 * avg is the same double on both "
+        "engines — the correlated threshold is portable without "
+        "tolerance."
+    ),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5))
+                / 1000000.0
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    doc=(
+        "TPC-H Q21 (suppliers who kept orders waiting), adapted: with no "
+        "l_commitdate/l_receiptdate, 'failed the order' is marked by "
+        "l_returnflag = 'R' — the supplier whose line was returned on a "
+        "finalized multi-supplier order where NO OTHER supplier's line "
+        "was returned. The spec's signature construct survives exactly: "
+        "a semi join and an anti join against the SAME fact table on the "
+        "same key with a non-equi side condition. Both correlated "
+        "subqueries become one-pass shuffles on orderkey co-partitioned "
+        "with l1, and the top-20 is TakeOrderedAndProject. The exact "
+        "count ordering plus the unique s_name tie-break makes the "
+        "top-20 set deterministic."
+    ),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    cand = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

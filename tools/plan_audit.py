@@ -164,6 +164,41 @@ REQUIRED = {
         ("NOT EXISTS planned as an anti join", r"LeftAnti"),
         ("recent-order filter pushed to the anti side", r"PushedFilters: \[[^\]]*o_orderdate"),
     ],
+    "q_tpch_q1": [
+        ("shipdate filter pushed to the scan", r"PushedFilters: \[[^\]]*l_shipdate"),
+        ("all eight aggregates combine map-side", r"partial_sum"),
+        ("scan-agg stays in whole-stage codegen", r"\*\(\d+\)"),
+    ],
+    "q_tpch_q9": [
+        ("part-name LIKE pushed to the part scan", r"PushedFilters: \[[^\]]*p_name"),
+        ("dimension star broadcasts", r"BroadcastHashJoin"),
+        ("profit aggregated map-side", r"partial_sum"),
+    ],
+    "q_tpch_q12": [
+        ("ship-year filter pushed to the lineitem scan", r"PushedFilters: \[[^\]]*l_shipdate"),
+        ("CASE-sums combine map-side", r"partial_sum"),
+    ],
+    "q_tpch_q13": [
+        ("priority filter pushed to the orders scan", r"PushedFilters: \[[^\]]*o_orderpriority"),
+        ("both aggregation levels combine map-side", r"partial_count"),
+    ],
+    "q_tpch_q15": [
+        ("revenue aggregated map-side", r"partial_sum"),
+        ("max and supplier both broadcast", r"BroadcastHashJoin"),
+    ],
+    "q_tpch_q16": [
+        ("supplier blacklist is a broadcast anti join", r"BroadcastHashJoin.*LeftAnti|LeftAnti.*BuildRight"),
+        ("distinct-count expands in two phases, not per-group sets", r"partial_count\(distinct"),
+    ],
+    "q_tpch_q17": [
+        ("filtered part dim broadcasts", r"BroadcastHashJoin"),
+        ("per-part average combines map-side", r"partial_(sum|avg)"),
+    ],
+    "q_tpch_q21": [
+        ("EXISTS is a semi join on orderkey", r"LeftSemi"),
+        ("NOT EXISTS is an anti join on orderkey", r"LeftAnti"),
+        ("top-20 via TakeOrdered, no global sort", r"TakeOrderedAndProject"),
+    ],
     "q_llm_dedup_incremental": [
         ("bloom probe is an equi-join on bit position", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("exact verify is a semi join", r"LeftSemi"),
@@ -250,6 +285,12 @@ FORBIDDEN = {
     ],
     "q_llm_quality_classifier": [
         ("scoring is map-only — no shuffle at all", r"Exchange"),
+    ],
+    "q_tpch_q1": [
+        ("no global range-sort", r"rangepartitioning"),
+    ],
+    "q_tpch_q21": [
+        ("correlated subqueries never nest-loop", r"NestedLoop|CartesianProduct"),
     ],
 }
 
