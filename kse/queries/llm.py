@@ -961,18 +961,17 @@ QUALIFY row_number() OVER (ORDER BY cos_raw DESC, vec_id) <= 10
 )
 def q_llm_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    # Query norm computed once in the broadcast row, corpus norm once per
+    # row — the projection pays one fold per row, not three.
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"),
+        F.expr(_NORM.format(c="embedding")).alias("q_nrm"),
+    )
     scored = (
         e.filter(F.col("vec_id") != 0)
+        .withColumn("nrm", F.expr(_NORM.format(c="embedding")))
         .crossJoin(F.broadcast(q))
-        .withColumn(
-            "cos_raw",
-            F.try_divide(
-                _dot_q(),
-                F.expr(_NORM.format(c="embedding"))
-                * F.expr(_NORM.format(c="q_embedding")),
-            ),
-        )
+        .withColumn("cos_raw", F.try_divide(_dot_q(), F.col("nrm") * F.col("q_nrm")))
     )
     return (
         scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
@@ -1013,20 +1012,19 @@ def q_llm_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = t(spark, sf_dir, "embeddings")
+    # Norms hoisted to one fold per corpus row / per query (identical
+    # fold, identical inputs => bit-identical doubles); the pairwise
+    # projection pays only the dot-product fold.
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.expr(_NORM.format(c="embedding")).alias("q_nrm"),
     )
     scored = (
         e.filter(F.col("vec_id") >= 5)
+        .withColumn("nrm", F.expr(_NORM.format(c="embedding")))
         .crossJoin(F.broadcast(q))
-        .withColumn(
-            "cos_raw",
-            F.try_divide(
-                _dot_q(),
-                F.expr(_NORM.format(c="embedding"))
-                * F.expr(_NORM.format(c="q_embedding")),
-            ),
-        )
+        .withColumn("cos_raw", F.try_divide(_dot_q(), F.col("nrm") * F.col("q_nrm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
@@ -1129,22 +1127,27 @@ WHERE rn <= 3
 )
 def q_llm_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    bucketed = e.select("vec_id", "label", "embedding", _lsh_bucket("embedding"))
+    # Per-side norms hoisted above the bucket join (one fold per row /
+    # per query instead of two per candidate pair; bit-identical values).
+    bucketed = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _lsh_bucket("embedding"),
+        F.expr(_NORM.format(c="embedding")).alias("nrm"),
+    )
     queries = bucketed.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),
         F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_nrm"),
     )
     cand = bucketed.join(
         F.broadcast(queries),
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = cand.withColumn(
-        "cos_raw",
-        F.try_divide(
-            _dot_q(),
-            F.expr(_NORM.format(c="embedding")) * F.expr(_NORM.format(c="q_embedding")),
-        ),
+        "cos_raw", F.try_divide(_dot_q(), F.col("nrm") * F.col("q_nrm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
@@ -2459,20 +2462,31 @@ def q_llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def nearest_centroids(vecs: DataFrame, id_col: str, keep: int) -> DataFrame:
-        """(id, cent_id, rank) of each vector's `keep` nearest centroids."""
-        scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-            "dist",
-            F.expr(
-                "aggregate(zip_with(embedding, q_embedding,"
-                " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-            ),
+        """(id, cent_id, rank) of each vector's `keep` nearest centroids.
+
+        Map-only: the k centroids collapse to one broadcast row, each
+        vector sorts its k struct(dist, cent_id) distances in-place
+        (array_sort == the former window's (dist, cent_id) order,
+        bit-identical doubles) and keeps the head — no n*k row shuffle,
+        no per-vector window. Same rewrite as `_km_assign`."""
+        cents_row = cents.groupBy().agg(
+            F.collect_list(F.struct("cent_id", "q_embedding")).alias("cs")
         )
-        w = Window.partitionBy(id_col).orderBy("dist", "cent_id")
+        picks = F.expr(
+            "slice(array_sort(transform(cs, c -> struct("
+            "aggregate(zip_with(embedding, c.q_embedding,"
+            " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS dist,"
+            f" c.cent_id AS cent_id))), 1, {keep})"
+        )
         return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= keep)
-            .select(id_col, "cent_id", "crank")
+            vecs.crossJoin(F.broadcast(cents_row))
+            .select(F.col(id_col), F.posexplode(picks).alias("pos", "pick"))
+            .select(
+                id_col,
+                F.col("pick.cent_id").alias("cent_id"),
+                (F.col("pos") + 1).alias("crank"),
+            )
         )
 
     # inverted lists: every vector -> its single nearest centroid
@@ -2487,13 +2501,14 @@ def q_llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(probes), F.col("cent_id") == F.col("probe_cent"))
         .filter(F.col("vec_id") != 0)
     )
-    q_emb = qvec.select(F.col("embedding").alias("q_embedding"))
-    scored = candidates.crossJoin(F.broadcast(q_emb)).withColumn(
-        "cos_raw",
-        F.try_divide(
-            _dot_q(),
-            F.expr(_NORM.format(c="embedding")) * F.expr(_NORM.format(c="q_embedding")),
-        ),
+    q_emb = qvec.select(
+        F.col("embedding").alias("q_embedding"),
+        F.expr(_NORM.format(c="embedding")).alias("q_nrm"),
+    )
+    scored = (
+        candidates.withColumn("nrm", F.expr(_NORM.format(c="embedding")))
+        .crossJoin(F.broadcast(q_emb))
+        .withColumn("cos_raw", F.try_divide(_dot_q(), F.col("nrm") * F.col("q_nrm")))
     )
     return (
         scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
@@ -3466,15 +3481,24 @@ GROUP BY e.query_id
 )
 def q_llm_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    bucketed = e.select("vec_id", "embedding", _lsh_bucket("embedding"))
+    # Norms hoisted above all three candidate generators (one fold per
+    # corpus row / per query; bit-identical doubles).
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        _lsh_bucket("embedding"),
+        F.expr(_NORM.format(c="embedding")).alias("nrm"),
+    )
     q = bucketed.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),
         F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_nrm"),
     )
     probes = q.select(
         "query_id",
         "q_embedding",
+        "q_nrm",
         F.explode(
             F.array(
                 F.col("q_bucket"),
@@ -3482,10 +3506,7 @@ def q_llm_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("probe"),
     )
-    cos = F.try_divide(
-        _dot_q(),
-        F.expr(_NORM.format(c="embedding")) * F.expr(_NORM.format(c="q_embedding")),
-    )
+    cos = F.try_divide(_dot_q(), F.col("nrm") * F.col("q_nrm"))
 
     def top3(scored: DataFrame) -> DataFrame:
         w = Window.partitionBy("query_id").orderBy(

@@ -76,6 +76,14 @@ SCALE_OPS = [
     "q_llm_sim_ann_recall",
     "q_llm_dedup_incremental",
     "q_sql_scd2_incremental",
+    # decision-support heavies at 6M lineitem rows: the fact table only
+    # shuffles on its join/agg keys, dims broadcast, Q1 is one codegen
+    # span, Q21 runs semi+anti over the same 6M-row fact
+    "q_tpch_q1",
+    "q_tpch_q9",
+    "q_tpch_q13",
+    "q_tpch_q16",
+    "q_tpch_q21",
     # Graph-op timings run on the eagerly localCheckpoint-ed edge table
     # (_copurchase_edges), so they measure the ALGORITHM on materialized
     # edges while DuckDB's oracle re-derives edges inside every run. The
