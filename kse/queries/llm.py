@@ -3024,11 +3024,11 @@ _E_NORM = (
 )
 
 
-@register(
-    "q_llm_dedup_semantic",
-    oracle="WITH "
-    + _kmeans_ctes()
-    + f""",
+def _semdedup_oracle() -> str:
+    return (
+        "WITH "
+        + _kmeans_ctes()
+        + f""",
 fin AS (SELECT vec_id, cid, e FROM assign{_KM_UPDATES + 1}),
 prs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -3046,7 +3046,13 @@ SELECT f.vec_id, f.cid AS cluster,
        round(coalesce(per.m, -2.0), 4) AS max_cluster_cos,
        coalesce(per.m, -2.0) > {_SEMDEDUP_TAU} AS would_drop
 FROM fin f LEFT JOIN per USING (vec_id)
-""",
+"""
+    )
+
+
+@register(
+    "q_llm_dedup_semantic",
+    oracle=_semdedup_oracle(),
     doc=(
         "SemDeDup (Abbas et al. 2023): semantic dedup with K-MEANS "
         "CLUSTERS AS THE BUCKETING — embed, cluster, then compare "
@@ -3134,6 +3140,80 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("m", F.lit(-2.0)), 4).alias("max_cluster_cos"),
             (F.coalesce("m", F.lit(-2.0)) > _SEMDEDUP_TAU).alias("would_drop"),
         )
+    )
+
+
+@register(
+    "q_llm_dedup_semantic_arrow",
+    oracle=None,  # float accumulation order differs from the SQL fold
+    check_oracle=_semdedup_oracle(),
+    check_rel_tol=0.001,
+    doc=(
+        "SemDeDup, BLAS tier: identical clustering to q_llm_dedup_"
+        "semantic, but the within-cluster scoring runs as ONE matrix "
+        "multiply per cluster inside an Arrow-batched applyInPandas "
+        "(E @ E.T over the cluster's n_c x 64 block, diagonal masked, "
+        "per-row nanmax) instead of the JVM pair join. This is the "
+        "production shape once clusters are dense enough that per-pair "
+        "lambda folds dominate: the pair matrix never leaves the numpy "
+        "block, so the only shuffle is the groupBy(cid) that forms the "
+        "cluster, and per-cluster cost drops from n_c^2 interpreted "
+        "folds to one BLAS gemm. numpy's gemm accumulates in a "
+        "different order than the SQL left fold, so this is tolerance-"
+        "contracted (0.1%) against the exact oracle rather than "
+        "hash-exact; a pytest additionally pins its would_drop set to "
+        "the exact twin's. Zero-norm rows mirror the exact twin's NULL "
+        "semantics via NaN masking (singletons and all-NULL groups "
+        "report the -2 sentinel). At 100 TB a cluster that outgrows one "
+        "Arrow batch splits via the salted-join twin; the two variants "
+        "bracket the recall/cost spectrum of executing the same "
+        "algorithm."
+    ),
+)
+def q_llm_dedup_semantic_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    cent = vecs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    for _ in range(_KM_UPDATES):
+        cent = _km_update(_km_assign(vecs, cent))
+    fin = _km_assign(vecs, cent)
+    tau = _SEMDEDUP_TAU
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 1:
+            m = np.full(1, -2.0)
+        else:
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)
+            nrm = np.sqrt((E * E).sum(axis=1))
+            denom = np.outer(nrm, nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.where(denom > 0.0, (E @ E.T) / denom, np.nan)
+            np.fill_diagonal(C, np.nan)
+            all_nan = np.isnan(C).all(axis=1)
+            C[:, 0] = np.where(
+                all_nan & np.isnan(C[:, 0]), -np.inf, C[:, 0]
+            )  # keep nanmax quiet on all-NaN rows
+            m = np.nanmax(C, axis=1)
+            m = np.where(all_nan, -2.0, m)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "cluster": pdf["cid"].astype("int64"),
+                "max_cluster_cos": np.round(m, 4),
+                "would_drop": m > tau,
+            }
+        )
+
+    return fin.groupBy("cid").applyInPandas(
+        score, "vec_id bigint, cluster bigint, max_cluster_cos double, would_drop boolean"
     )
 
 

@@ -252,3 +252,20 @@ def test_semdedup_flags_planted_near_identical_vectors(spark, tmp_path):
     finally:
         catalog._RELATION_CACHE.pop((id(spark), sf, "embeddings"), None)
         registry.invalidate_plans(sf, spark)
+
+
+def test_semdedup_arrow_tier_matches_exact_twin(spark):
+    """The BLAS tier must agree with the exact pair-join twin on every
+    verdict and within 5e-4 on every score at sf0.001 — same clustering,
+    same tau, different (numpy gemm) accumulation order."""
+    from kse.queries.llm import q_llm_dedup_semantic, q_llm_dedup_semantic_arrow
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.vec_id: r for r in q_llm_dedup_semantic(spark, sf).collect()}
+    arrow = {r.vec_id: r for r in q_llm_dedup_semantic_arrow(spark, sf).collect()}
+    assert set(exact) == set(arrow)
+    for vid, er in exact.items():
+        ar = arrow[vid]
+        assert ar.cluster == er.cluster, vid
+        assert ar.would_drop == er.would_drop, vid
+        assert abs(ar.max_cluster_cos - er.max_cluster_cos) <= 5e-4, vid

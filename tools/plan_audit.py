@@ -292,6 +292,12 @@ FORBIDDEN = {
     "q_tpch_q21": [
         ("correlated subqueries never nest-loop", r"NestedLoop|CartesianProduct"),
     ],
+    "q_llm_dedup_semantic_arrow": [
+        # the only NestedLoop allowed is _km_assign's one-row broadcast
+        # centroid array; a CartesianProduct would mean a real pair join
+        ("pair matrix stays inside the Arrow batch — no pair join at all",
+         r"CartesianProduct"),
+    ],
 }
 
 
