@@ -3627,3 +3627,94 @@ def q_llm_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hm").cast("double") / 3.0, 4).alias("recall_multiprobe"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-passage detection (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr signal,
+# here as rolling w-token grams instead of a monolithic suffix array)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_W = 10  # gram width in tokens
+
+
+@register(
+    "q_llm_dedup_substring",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+         substr(md5(array_to_string(tk[i:i + {_SUBSTR_W - 1}], ' ')), 1, 16) AS g
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(tk) - {_SUBSTR_W - 1}, 0) + 1)) AS i
+  )
+)
+SELECT g AS gram_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(min(pos) AS BIGINT) AS min_pos
+FROM grams
+GROUP BY g
+HAVING count(DISTINCT doc_id) > 1
+""",
+    doc=(
+        f"Exact duplicated-passage detection (Lee et al. 2022's "
+        f"ExactSubstr signal): every {_SUBSTR_W}-token rolling window "
+        "hashes to a gram id, and grams appearing in MORE THAN ONE "
+        "document are reported with occurrence counts and the earliest "
+        "(doc, pos) site — the passage-level complement to document-"
+        "level MinHash: it catches boilerplate, quotes, and licenses "
+        "embedded in otherwise-distinct documents. The suffix-array "
+        "formulation of the paper is a single-machine construction; the "
+        "distributed equivalent is exactly this shape — gram emission is "
+        "map-only codegen (split once, slice per window, one md5 per "
+        "gram), the only shuffle groups by gram hash with map-side "
+        "partial aggregation, and the >1-doc filter is a HAVING on the "
+        "aggregate. At 100 TB: ~n_tokens rows shuffle once at 16 bytes "
+        "of key each (the gram text itself never shuffles — only its "
+        "hash), hot grams (the same license everywhere) are exactly the "
+        "hash-aggregate's best case since duplicates collapse map-side, "
+        "and the window width trades recall for row count linearly. "
+        "Production swaps md5 for xxhash64 (kept here for oracle "
+        "parity, same discipline as MinHash)."
+    ),
+)
+def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _SUBSTR_W
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    # sequence(a, b) runs DESCENDING when b < a, so the short-doc case
+    # must be an explicit empty array, mirroring the oracle's range()
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(tk) >= {w} THEN "
+                f"transform(sequence(1, size(tk) - {w - 1}),"
+                f" i -> concat_ws(' ', slice(tk, i, {w}))) "
+                "ELSE array() END"
+            )
+        ).alias("p", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).cast("long").alias("pos"),
+        F.substring(F.md5("gram"), 1, 16).alias("g"),
+    )
+    return (
+        grams.groupBy("g")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("pos").alias("min_pos"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.col("g").alias("gram_hash"),
+            "n_docs",
+            "n_occurrences",
+            "first_doc",
+            "min_pos",
+        )
+    )

@@ -269,3 +269,55 @@ def test_semdedup_arrow_tier_matches_exact_twin(spark):
         assert ar.cluster == er.cluster, vid
         assert ar.would_drop == er.would_drop, vid
         assert abs(ar.max_cluster_cos - er.max_cluster_cos) <= 5e-4, vid
+
+
+def test_substring_dedup_finds_planted_shared_passage(spark, tmp_path):
+    """Two documents sharing an exact 12-token passage must surface it;
+    documents with no cross-doc repetition must contribute nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kse import catalog, registry
+    from kse.queries.llm import q_llm_dedup_substring
+
+    passage = " ".join(f"tok{i}" for i in range(12))
+    docs = [
+        (0, "alpha beta " + passage + " gamma delta"),
+        (1, passage + " epsilon zeta eta theta iota kappa"),
+        (2, " ".join(f"uniq{i}" for i in range(30))),
+    ]
+    sf_dir = tmp_path / "substr_sf"
+    sf_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [d[0] for d in docs],
+                "text": [d[1] for d in docs],
+                "lang": ["en"] * 3,
+                "source": ["t"] * 3,
+                "n_chars": [len(d[1]) for d in docs],
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("lang", pa.string()),
+                    ("source", pa.string()),
+                    ("n_chars", pa.int64()),
+                ]
+            ),
+        ),
+        sf_dir / "documents.parquet",
+    )
+    sf = str(sf_dir)
+    try:
+        rows = q_llm_dedup_substring(spark, sf).collect()
+        # a 12-token shared passage yields 3 shared 10-grams
+        assert len(rows) == 3
+        for r in rows:
+            assert r.n_docs == 2 and r.n_occurrences == 2 and r.first_doc == 0
+        # doc 2 (all-unique tokens) must not appear as a first_doc anywhere
+        assert all(r.first_doc != 2 for r in rows)
+    finally:
+        catalog._RELATION_CACHE.pop((id(spark), sf, "documents"), None)
+        registry.invalidate_plans(sf, spark)

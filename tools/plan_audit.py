@@ -199,6 +199,9 @@ REQUIRED = {
         ("NOT EXISTS is an anti join on orderkey", r"LeftAnti"),
         ("top-20 via TakeOrdered, no global sort", r"TakeOrderedAndProject"),
     ],
+    "q_llm_dedup_substring": [
+        ("gram counts collapse map-side before the shuffle", r"partial_count"),
+    ],
     "q_llm_dedup_incremental": [
         ("bloom probe is an equi-join on bit position", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("exact verify is a semi join", r"LeftSemi"),
@@ -297,6 +300,10 @@ FORBIDDEN = {
         # centroid array; a CartesianProduct would mean a real pair join
         ("pair matrix stays inside the Arrow batch — no pair join at all",
          r"CartesianProduct"),
+    ],
+    "q_llm_dedup_substring": [
+        ("gram emission never joins — map-only until the hash aggregate",
+         r"Join|CartesianProduct"),
     ],
 }
 

@@ -74,6 +74,7 @@ SCALE_OPS = [
     "q_llm_dedup_embed",
     "q_llm_dedup_semantic",
     "q_llm_dedup_semantic_arrow",
+    "q_llm_dedup_substring",
     "q_llm_sim_ann_recall",
     "q_llm_dedup_incremental",
     "q_sql_scd2_incremental",
