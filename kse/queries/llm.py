@@ -289,9 +289,11 @@ FROM documents d LEFT JOIN cnt USING (doc_id)
 def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(d)
+    # one pass over pairs: explode both endpoints instead of UNIONing the
+    # same candidate-generation subplan twice (Catalyst re-executes union
+    # branches — the signatures would be computed twice)
     cnt = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_candidates"))
     )
@@ -326,9 +328,11 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(d, fast=True)
+    # one pass over pairs: explode both endpoints instead of UNIONing the
+    # same candidate-generation subplan twice (Catalyst re-executes union
+    # branches — the signatures would be computed twice)
     cnt = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_candidates"))
     )
@@ -345,9 +349,16 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     label = smallest member id of the node's component. Each round is one
     equi-join + groupBy-min, lineage truncated per round; early-stops the
     round nothing changes (rounds needed = graph diameter)."""
+    # symmetrize by exploding both orientations in ONE pass over the pair
+    # generation (a self-UNION would execute it twice), then checkpoint
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        F.explode(
+            F.expr(
+                "array(named_struct('src', doc_a, 'dst', doc_b),"
+                " named_struct('src', doc_b, 'dst', doc_a))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     edges = edges.localCheckpoint(eager=True)  # pair generation runs once
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -686,9 +697,10 @@ def q_llm_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # explode endpoints in one pass — a self-UNION would run the banded
+    # hamming join twice
     cnt = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_near"))
     )
@@ -748,9 +760,10 @@ def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+    # explode endpoints in one pass — a self-UNION would run the verify
+    # join (set intersections included) twice
     per_doc = (
-        jac.select(F.col("doc_a").alias("doc_id"), "jaccard")
-        .union(jac.select(F.col("doc_b").alias("doc_id"), "jaccard"))
+        jac.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"), "jaccard")
         .groupBy("doc_id")
         .agg(F.max("jaccard").alias("max_jaccard"))
     )
@@ -813,9 +826,12 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+    # explode endpoints in one pass — a self-UNION would run the verify
+    # join twice
     per_doc = (
-        cont.select(F.col("doc_a").alias("doc_id"), "containment")
-        .union(cont.select(F.col("doc_b").alias("doc_id"), "containment"))
+        cont.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"), "containment"
+        )
         .groupBy("doc_id")
         .agg(F.max("containment").alias("max_containment"))
     )
