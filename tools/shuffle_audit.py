@@ -64,6 +64,38 @@ BOUNDS: dict[str, tuple[int, str]] = {
         8 * MB,
         "dims broadcast; only the surviving fact rows + partials shuffle",
     ),
+    "q_join_broadcast": (
+        64 * KB,
+        "fact side never shuffles — broadcast join, then partial-agg states",
+    ),
+    "q_join_skew_salted": (
+        64 * KB,
+        "salting spreads the hot key; the exchange carries states, not rows",
+    ),
+    "q_llm_sim_lsh_ann": (
+        64 * KB,
+        "queries broadcast into the buckets; only per-query top-k states move",
+    ),
+    "q_llm_dedup_minhash_fast": (
+        24 * MB,
+        "xxhash64 band signatures + candidate ids shuffle, not documents",
+    ),
+    "q_llm_pack_sequences": (
+        512 * KB,
+        "dist_prefix_sum: only bucket METADATA crosses the global exchange",
+    ),
+    "q_agg_bitmap_distinct": (
+        64 * KB,
+        "roaring bitmaps build map-side; only merged bitmap states shuffle",
+    ),
+    "q_sql_scd2_incremental": (
+        512 * KB,
+        "only open versions + the change batch shuffle, never the dimension",
+    ),
+    "q_graph_triangles": (
+        1 * MB,
+        "edge keys shuffle; adjacency payloads never materialize",
+    ),
 }
 
 
