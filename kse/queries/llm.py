@@ -3204,11 +3204,16 @@ def q_llm_dedup_semantic_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
-        if n == 1:
-            m = np.full(1, -2.0)
-        else:
-            E = np.array(pdf["e"].tolist(), dtype=np.float64)
-            nrm = np.sqrt((E * E).sum(axis=1))
+        # NULL embeddings (and the rows they'd pair with) mirror the exact
+        # twin's JVM null propagation: a NULL vector contributes no cos to
+        # anyone and itself reports the -2 sentinel. Building E from the
+        # non-null rows only also keeps np.array rectangular — a NULL in
+        # the column would otherwise make the ndarray construction ragged.
+        m = np.full(n, -2.0)
+        valid = pdf["e"].notna().to_numpy()
+        if valid.sum() >= 2:
+            E = np.array(pdf.loc[valid, "e"].tolist(), dtype=np.float64)
+            nrm = np.sqrt(np.nansum(E * E, axis=1))
             denom = np.outer(nrm, nrm)
             with np.errstate(divide="ignore", invalid="ignore"):
                 C = np.where(denom > 0.0, (E @ E.T) / denom, np.nan)
@@ -3217,12 +3222,12 @@ def q_llm_dedup_semantic_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             C[:, 0] = np.where(
                 all_nan & np.isnan(C[:, 0]), -np.inf, C[:, 0]
             )  # keep nanmax quiet on all-NaN rows
-            m = np.nanmax(C, axis=1)
-            m = np.where(all_nan, -2.0, m)
+            mv = np.nanmax(C, axis=1)
+            m[valid] = np.where(all_nan, -2.0, mv)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"].astype("int64"),
-                "cluster": pdf["cid"].astype("int64"),
+                "cluster": pdf["cid"].astype("Int64"),
                 "max_cluster_cos": np.round(m, 4),
                 "would_drop": m > tau,
             }
