@@ -199,6 +199,21 @@ REQUIRED = {
         ("NOT EXISTS is an anti join on orderkey", r"LeftAnti"),
         ("top-20 via TakeOrdered, no global sort", r"TakeOrderedAndProject"),
     ],
+    "q_tpch_q2": [
+        ("supplier/nation/region dims broadcast into ps", r"BroadcastHashJoin"),
+        ("per-part min cost combines map-side", r"partial_min"),
+        ("size/type filter pushed to the part scan", r"PushedFilters: \[[^\]]*p_type"),
+        ("top-100 via TakeOrdered, no global sort", r"TakeOrderedAndProject"),
+    ],
+    "q_tpch_q11": [
+        ("region-filtered supplier dim broadcasts", r"BroadcastHashJoin"),
+        ("per-part value combines map-side", r"partial_sum"),
+    ],
+    "q_tpch_q20": [
+        ("part-name LIKE pushed to the part scan", r"PushedFilters: \[[^\]]*p_name"),
+        ("part filter applied as a semi join before the aggregate", r"LeftSemi"),
+        ("both period sums combine map-side in ONE aggregate", r"partial_sum"),
+    ],
     "q_llm_dedup_substring": [
         ("gram counts collapse map-side before the shuffle", r"partial_count"),
     ],
