@@ -222,3 +222,90 @@ def q_udf_simhash_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": out_ids, "simhash": sims})
 
     return hashed.mapInPandas(fingerprint, "doc_id LONG, simhash LONG")
+
+
+@register(
+    "q_udf_pandas_grouped_agg",
+    oracle="""
+SELECT c_nationkey,
+       round(median(c_acctbal), 6) AS median_bal,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer
+GROUP BY c_nationkey
+""",
+    doc=(
+        "GROUPED_AGG pandas UDF — the third pandas-UDF flavor (§2.11): a "
+        "true user-defined AGGREGATE, usable inside groupBy().agg() next "
+        "to built-ins, unlike grouped-map applyInPandas which replaces "
+        "the whole group projection. The example is an exact median: an "
+        "order statistic, not an accumulation, so the result is order-"
+        "independent and hash-portable (numpy's even-n midpoint average "
+        "equals DuckDB's quantile_cont interpolation on the same "
+        "doubles). Scale note: a GROUPED_AGG UDF has NO partial "
+        "aggregation — every group's full column ships to one Python "
+        "worker (Arrow-batched), which is exactly what an exact median "
+        "needs anyway (it is not mergeable); for sketchable statistics "
+        "prefer built-ins (percentile_approx rides partial aggs, see "
+        "q_agg_approx_percentile). Memory bounds: per-group state is one "
+        "float64 column, salting applies if a group outgrows a worker."
+    ),
+)
+def q_udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(DoubleType())
+    def exact_median(v: pd.Series) -> float:
+        a = v.dropna().to_numpy(dtype=np.float64)
+        return float(np.round(np.median(a), 6)) if a.size else None
+
+    # a GROUPED_AGG UDF cannot share agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas UDAF too
+    @F.pandas_udf(LongType())
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        exact_median("c_acctbal").alias("median_bal"),
+        n_rows("c_acctbal").alias("n"),
+    )
+
+
+@register(
+    "q_udf_pandas_window_agg",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       round(median(c_acctbal) OVER (PARTITION BY c_nationkey), 6)
+         AS nation_median_bal
+FROM customer
+""",
+    doc=(
+        "GROUPED_AGG pandas UDF evaluated OVER a window — the same "
+        "exact-median UDAF attached to every row of its partition "
+        "(an unbounded frame), the way a per-entity statistic is "
+        "joined back without a self-join. Spark runs the UDF once per "
+        "partition and broadcasts the scalar to the partition's rows "
+        "inside the window operator: one shuffle on the partition key, "
+        "no second pass over customer. Same non-mergeable caveat as the "
+        "groupBy form; bounded frames over pandas UDFs re-evaluate per "
+        "frame and are the expensive variant to avoid at 100 TB. "
+        "(Placement rule, enforced by Catalyst: GROUPED_AGG UDFs cannot "
+        "share an agg() with JVM aggregates — the groupBy twin therefore "
+        "computes its row count as a second pandas UDAF.)"
+    ),
+)
+def q_udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    @F.pandas_udf(DoubleType())
+    def exact_median(v: pd.Series) -> float:
+        a = v.dropna().to_numpy(dtype=np.float64)
+        return float(np.round(np.median(a), 6)) if a.size else None
+
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        exact_median("c_acctbal").over(w).alias("nation_median_bal"),
+    )

@@ -96,6 +96,29 @@ BOUNDS: dict[str, tuple[int, str]] = {
         1 * MB,
         "edge keys shuffle; adjacency payloads never materialize",
     ),
+    "q_tpch_q2": (
+        42 * MB,
+        "lineitem shuffles once to build ps partials; dims broadcast, "
+        "min-cost join-back stays on partkey",
+    ),
+    "q_tpch_q11": (
+        48 * MB,
+        "same single ps build; per-part value re-shuffle carries states",
+    ),
+    "q_tpch_q20": (
+        2 * MB,
+        "semi-join-pruned fact rows shuffle once into ONE conditional "
+        "aggregate (both period sums share the pass)",
+    ),
+    "q_udf_pandas_grouped_agg": (
+        512 * KB,
+        "GROUPED_AGG UDAF has no partial agg: the full acctbal column "
+        "(not the full row) ships per group",
+    ),
+    "q_udf_pandas_window_agg": (
+        640 * KB,
+        "window UDAF shuffles the projected rows once on the partition key",
+    ),
 }
 
 
