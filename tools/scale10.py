@@ -82,9 +82,12 @@ SCALE_OPS = [
     # shuffles on its join/agg keys, dims broadcast, Q1 is one codegen
     # span, Q21 runs semi+anti over the same 6M-row fact
     "q_tpch_q1",
+    "q_tpch_q2",
     "q_tpch_q9",
+    "q_tpch_q11",
     "q_tpch_q13",
     "q_tpch_q16",
+    "q_tpch_q20",
     "q_tpch_q21",
     # Graph-op timings run on the eagerly localCheckpoint-ed edge table
     # (_copurchase_edges), so they measure the ALGORITHM on materialized
