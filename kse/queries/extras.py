@@ -1537,21 +1537,25 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
         F.col("o_totalprice").alias("attr_price"),
     )
 
-    # delta-sized per-key lookups: broadcast, never a dimension-wide shuffle
-    max_v = dim.groupBy("o_custkey").agg(F.max("version").alias("_max_v"))
+    # delta-sized per-key lookups: broadcast, never a dimension-wide
+    # shuffle. max version per key needs NO window or dim read: versions
+    # are row_numbers, so the key's max version IS its historical row
+    # count — a plain partial-agg count over the history scan.
+    max_v = hist.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_max_v"))
     first_new = delta.groupBy("o_custkey").agg(
         F.min("o_orderdate").alias("_first_new")
     )
 
-    closed = dim.filter(F.col("_to").isNotNull())  # immutable history
-    open_rows = dim.filter(F.col("_to").isNull())
-    # affected keys: open version closes at the first delta change;
-    # unaffected keys: _first_new is NULL and the row passes through open
-    open_patched = open_rows.join(F.broadcast(first_new), "o_custkey", "left").select(
+    # ONE pass over the stored dimension: closed rows keep their _to
+    # (coalesce picks it), each affected key's open row (_to IS NULL)
+    # closes at the key's first delta change, unaffected open rows pass
+    # through with _first_new NULL. At 100 TB this halves dimension
+    # traffic vs filtering closed/open into separate branches.
+    patched = dim.join(F.broadcast(first_new), "o_custkey", "left").select(
         "o_custkey",
         "version",
         "_from",
-        F.col("_first_new").alias("_to"),
+        F.coalesce("_to", "_first_new").alias("_to"),
         "attr_price",
     )
     new_rows = (
@@ -1567,7 +1571,7 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
             F.col("o_totalprice").alias("attr_price"),
         )
     )
-    merged = closed.unionByName(open_patched).unionByName(new_rows)
+    merged = patched.unionByName(new_rows)
     return merged.select(
         "o_custkey",
         "version",

@@ -226,10 +226,16 @@ GROUP BY event_type, k
     doc=(
         "JSON extraction from events.props ({\"k\": int} — FIXTURES.md), "
         "the core KSE transform [R]: parse → project → aggregate. "
-        "Single-key extraction uses get_json_object (a JVM JSON-path walk; "
-        "measured ~15% faster at 1M rows than from_json's struct "
-        "materialization, 321 vs 373 ms). from_json with an explicit "
-        "schema — never inference — stays the multi-key / nested path."
+        "Single-key extraction measured four ways at 1M rows: "
+        "variant_get(parse_json(...)) 0.48 s, from_json 0.50 s, "
+        "get_json_object 0.54 s, a regexp_extract shortcut 0.27 s. The "
+        "variant path wins among real parsers and is what ships here — "
+        "it is also the Spark 4 shape that amortizes when several keys "
+        "are extracted from one parse. The regexp shortcut is 2x faster "
+        "still but rejected: it reads JSON as text, so escaped quotes, "
+        "nested objects with the same key, or whitespace variants "
+        "silently corrupt it. from_json with an explicit schema — never "
+        "inference — stays the multi-key / nested path."
     ),
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,7 +243,9 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(
             "event_type",
-            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            # try_ forms: malformed/non-JSON props must yield NULL (the
+            # get_json_object behavior), not an ANSI parse error
+            F.expr("try_variant_get(try_parse_json(props), '$.k', 'int')").alias("k"),
             "value",
         )
         .groupBy("event_type", "k")
