@@ -38,8 +38,11 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "l_returnflag",
-        F.col("F_n").alias("n_f"),
-        F.col("O_n").alias("n_o"),
+        # an absent (flag, status) cell pivots to NULL, but a COUNT of no
+        # rows is 0 (the FILTER-aggregate semantics the oracle states);
+        # sums legitimately stay NULL for empty cells on both engines
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
         F.col("F_qty").alias("qty_f"),
         F.col("O_qty").alias("qty_o"),
     )

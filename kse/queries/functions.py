@@ -26,7 +26,7 @@ from kse.registry import register
 SELECT doc_id,
        upper(substr(text, 1, 12)) AS head_u,
        length(text) AS n_len,
-       concat(lang, '-', source) AS tag,
+       concat_ws('-', lang, source) AS tag,
        lpad(lang, 5, '_') AS lang_pad,
        CAST(instr(text, 'a') AS BIGINT) AS pos_a,
        replace(substr(text, 1, 20), ' ', '_') AS head_us,
@@ -218,7 +218,8 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_fn_json",
     oracle="""
-SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+SELECT event_type,
+       CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT) AS k,
        count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events
 GROUP BY event_type, k
@@ -265,7 +266,9 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
        string_split(text, ' ')[1] AS first_token,
        list_contains(string_split(text, ' '), 'the') AS has_the,
-       CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS the_pos,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT)
+       END AS the_pos,
        array_to_string(list_slice(string_split(text, ' '), 1, 3), ',') AS head3,
        array_to_string(list_sort(list_distinct(list_slice(string_split(text, ' '), 1, 8))), ',') AS head_vocab
 FROM documents
@@ -334,9 +337,9 @@ def q_fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_map",
     oracle="""
 SELECT event_id,
-       array_to_string(map_keys(map(['type','k'], [event_type, json_extract_string(props, '$.k')])), ',') AS keys_s,
-       map(['type','k'], [event_type, json_extract_string(props, '$.k')])['type'][1] AS type_val,
-       CAST(cardinality(map(['type','k'], [event_type, json_extract_string(props, '$.k')])) AS INT) AS m_size
+       array_to_string(map_keys(map(['type','k'], [event_type, CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END])), ',') AS keys_s,
+       map(['type','k'], [event_type, CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END])['type'][1] AS type_val,
+       CAST(cardinality(map(['type','k'], [event_type, CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END])) AS INT) AS m_size
 FROM events
 """,
     doc="Map functions over a map synthesized from events columns "
@@ -420,7 +423,10 @@ FROM orders
         "aggregates). to_json(struct(...)) emits byte-identical compact "
         "JSON in both engines for int/string fields (verified), so the "
         "serialized text itself is hash-checked, not just the values. "
-        "Map-only, embarrassingly parallel."
+        "ignoreNullFields=false: NULL fields serialize as explicit JSON "
+        "nulls the way DuckDB's to_json does, instead of Spark's default "
+        "field-dropping — an indexed document keeps its schema even when "
+        "a value is missing. Map-only, embarrassingly parallel."
     ),
 )
 def q_fn_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,7 +439,8 @@ def q_fn_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderstatus").alias("status"),
                 F.col("o_orderpriority").alias("priority"),
                 F.year("o_orderdate").alias("yr"),
-            )
+            ),
+            {"ignoreNullFields": "false"},
         ).alias("doc"),
     )
 
@@ -475,9 +482,9 @@ WITH j AS (
   FROM events
 )
 SELECT event_id,
-       CAST(json_extract(doc, '$.p.k') AS INT) AS k,
-       CAST(json_extract(doc, '$.u') AS BIGINT) AS u,
-       json_extract_string(doc, '$.tags[0]') AS tag0
+       CAST(CASE WHEN json_valid(doc) THEN json_extract(doc, '$.p.k') END AS INT) AS k,
+       CAST(CASE WHEN json_valid(doc) THEN json_extract(doc, '$.u') END AS BIGINT) AS u,
+       CASE WHEN json_valid(doc) THEN json_extract_string(doc, '$.tags[0]') END AS tag0
 FROM j
 """,
     doc=(

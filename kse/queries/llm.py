@@ -225,7 +225,8 @@ def minhash_candidate_pairs(d: DataFrame, fast: bool = False) -> DataFrame:
 
 
 _MINHASH_ORACLE = """
-WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+            WHERE text IS NOT NULL),
 sh AS (
   SELECT doc_id,
          list_transform(range(1, greatest(len(tok) - 2, 1) + 1),
@@ -906,7 +907,8 @@ def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_llm_fingerprint",
     oracle="""
-WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+            WHERE text IS NOT NULL),
 sh AS (
   SELECT doc_id,
          list_transform(range(1, greatest(len(tok) - 2, 1) + 1),
@@ -2297,9 +2299,10 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_llm_embed_stats",
     oracle="""
-WITH dims AS (
+WITH valid AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+dims AS (
   SELECT label, r.range AS pos, CAST(embedding[r.range + 1] AS DOUBLE) AS val, vec_id
-  FROM embeddings, range(64) r
+  FROM valid, range(64) r
 ),
 centroid AS (
   SELECT label, pos, avg(val) AS c FROM dims GROUP BY label, pos
@@ -2307,7 +2310,7 @@ centroid AS (
 norms AS (
   SELECT vec_id, label,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings
+  FROM valid
 )
 SELECT n.label,
        count(*) AS n_vecs,
@@ -2423,12 +2426,13 @@ _IVF_DIST_SQL = (
 @register(
     "q_llm_sim_ivf",
     oracle=f"""
-WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce
-               FROM embeddings WHERE vec_id < 8),
+WITH ve AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+cents AS (SELECT vec_id AS cent_id, embedding AS ce
+               FROM ve WHERE vec_id < 8),
 dists AS (
   SELECT e.vec_id, c.cent_id,
          {_IVF_DIST_SQL.format(a='e.embedding', b='c.ce')} AS dist
-  FROM embeddings e, cents c
+  FROM ve e, cents c
 ),
 lists AS (
   SELECT vec_id, cent_id FROM (
@@ -2441,10 +2445,10 @@ probes AS (
     SELECT cent_id, row_number() OVER (ORDER BY dist, cent_id) AS rn
     FROM dists WHERE vec_id = 0) WHERE rn <= 2
 ),
-q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+q AS (SELECT embedding AS qe FROM ve WHERE vec_id = 0),
 cand AS (
   SELECT e.vec_id, e.label, e.embedding
-  FROM embeddings e
+  FROM ve e
   JOIN lists l USING (vec_id)
   JOIN probes p ON l.cent_id = p.probe_cent
   WHERE e.vec_id <> 0
@@ -2472,7 +2476,7 @@ LIMIT 10
     ),
 )
 def q_llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     cents = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("q_embedding")
     )
@@ -2814,7 +2818,9 @@ _URL_SQL = """concat(
     "q_llm_dedup_url",
     oracle=f"""
 WITH raw AS (
-  SELECT doc_id, {_URL_SQL.replace("AS STRING", "AS VARCHAR")} AS url
+  SELECT doc_id,
+         CASE WHEN source IS NOT NULL
+              THEN {_URL_SQL.replace("AS STRING", "AS VARCHAR")} END AS url
   FROM documents
 ),
 canon AS (
@@ -2917,7 +2923,7 @@ def _kmeans_ctes() -> str:
     )
     ctes = [
         "vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
-        "FROM embeddings)",
+        "FROM embeddings WHERE embedding IS NOT NULL)",
         f"cent0 AS (SELECT vec_id AS cid, e AS c FROM vecs WHERE vec_id < {_KM_K})",
     ]
     for i in range(1, _KM_UPDATES + 2):
@@ -3017,7 +3023,7 @@ def _km_update(assign: DataFrame) -> DataFrame:
 )
 def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    vecs = emb.select(
+    vecs = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
     )
     cent = vecs.filter(F.col("vec_id") < _KM_K).select(
@@ -3088,7 +3094,7 @@ FROM fin f LEFT JOIN per USING (vec_id)
 )
 def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    vecs = emb.select(
+    vecs = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
     )
     cent = vecs.filter(F.col("vec_id") < _KM_K).select(
@@ -3191,7 +3197,7 @@ def q_llm_dedup_semantic_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = t(spark, sf_dir, "embeddings")
-    vecs = emb.select(
+    vecs = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
     )
     cent = vecs.filter(F.col("vec_id") < _KM_K).select(

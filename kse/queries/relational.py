@@ -1024,8 +1024,11 @@ FROM lineitem GROUP BY l_returnflag
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    # collect_set skips NULLs; a group with ONLY NULL statuses must report
+    # NULL like SQL-standard string_agg, not concat_ws's '' for the empty set
+    sset = F.array_sort(F.collect_set("l_linestatus"))
     return li.groupBy("l_returnflag").agg(
-        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
+        F.when(F.size(sset) > 0, F.concat_ws(",", sset)).alias("statuses"),
         F.countDistinct("l_linestatus").alias("n_statuses"),
     )
 

@@ -558,11 +558,11 @@ _MICRO = "CAST(sum(CAST(floor({x} * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000
     "q_tpch_q1",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        {_MICRO.format(x='l_extendedprice')} AS sum_base_price,
        {_MICRO.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
        {_MICRO.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_qty,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_qty,
        ({_MICRO.format(x='l_extendedprice')}) / CAST(count(*) AS BIGINT) AS avg_price,
        ({_MICRO.format(x='l_discount')}) / CAST(count(*) AS BIGINT) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
@@ -585,7 +585,10 @@ GROUP BY l_returnflag, l_linestatus
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
     cnt = F.count(F.lit(1))
-    qty = F.sum(F.col("l_quantity").cast("long"))
+    # floor, not cast: CAST(double AS BIGINT) truncates in Spark but
+    # rounds in DuckDB (q_fn_cast's documented trap) — floor agrees on
+    # both engines for the non-negative quantities
+    qty = F.sum(F.floor(F.col("l_quantity")))
     price_u = F.sum(F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5))
     disc_u = F.sum(F.floor(F.col("l_discount") * 1000000.0 + 0.5))
     return (

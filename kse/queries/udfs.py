@@ -91,7 +91,7 @@ WITH ex AS (
 )
 SELECT ex.vec_id, ex.label,
        round(sqrt(sum((ex.v - cent.c) * (ex.v - cent.c))), 6) AS centroid_dist
-FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+FROM ex JOIN cent ON ex.label IS NOT DISTINCT FROM cent.label AND ex.i = cent.i
 GROUP BY ex.vec_id, ex.label
 """,
     doc=(
@@ -130,7 +130,8 @@ def q_udf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id, CAST(i - 1 AS INT) AS pos, string_split(text, ' ')[i] AS token
 FROM documents, range(1, 6) r(i)
-WHERE doc_id < 100 AND i <= least(5, len(string_split(text, ' ')))
+WHERE doc_id < 100 AND text IS NOT NULL
+  AND i <= least(5, len(string_split(text, ' ')))
 """,
     doc=(
         "Table function (one row → many): explode each document into "

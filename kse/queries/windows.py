@@ -283,7 +283,7 @@ WITH seqs AS (
   FROM events GROUP BY user_id
 )
 SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
-       (seq LIKE '%click%view%purchase%') AS converted
+       (coalesce(seq, '') LIKE '%click%view%purchase%') AS converted
 FROM seqs
 """,
     doc=(

@@ -32,8 +32,12 @@ from kse.session import get_session  # noqa: E402
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            # Spark-written table: a directory of part files
+            path = os.path.join(path, "*.parquet")
         con.execute(
-            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
@@ -44,9 +48,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             # normalize container representations: Spark yields python
             # lists without Arrow but numpy arrays with it, DuckDB yields
-            # numpy arrays — compare as lists either way
+            # numpy arrays — compare as lists either way. In object
+            # columns a SQL NULL arrives as None (Spark) or float NaN
+            # (DuckDB) — one sentinel, not a value difference.
             df[c] = df[c].map(
-                lambda v: list(v) if isinstance(v, np.ndarray) else v
+                lambda v: list(v)
+                if isinstance(v, np.ndarray)
+                else (None if (isinstance(v, float) and np.isnan(v)) else v)
             )
     sort_cols = list(df.columns)
     try:
