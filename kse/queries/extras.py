@@ -229,19 +229,24 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_minmax_by",
     oracle="""
 SELECT l_returnflag,
-       arg_max(l_orderkey, l_extendedprice) AS top_orderkey,
-       arg_min(l_orderkey, l_extendedprice) AS bottom_orderkey,
+       max(struct_pack(p := l_extendedprice, k := l_orderkey)).k AS top_orderkey,
+       min(struct_pack(p := l_extendedprice, k := l_orderkey)).k AS bottom_orderkey,
        max(l_extendedprice) AS top_price
 FROM lineitem GROUP BY l_returnflag
 """,
     doc="max_by/min_by (argmax aggregation): the orderkey carrying each "
-    "group's extreme price. Single-pass, map-side combinable.",
+    "group's extreme price. Single-pass, map-side combinable. The "
+    "ordering key is the COMPOSITE (price, orderkey) — bare max_by is "
+    "nondeterministic under price ties (and engine-divergent: the tie "
+    "battery caught Spark and DuckDB electing different orderkeys), so "
+    "both sides take the lexicographic struct extreme, which is total.",
 )
 def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    key = F.struct(F.col("l_extendedprice").alias("p"), F.col("l_orderkey").alias("k"))
     return li.groupBy("l_returnflag").agg(
-        F.max_by("l_orderkey", "l_extendedprice").alias("top_orderkey"),
-        F.min_by("l_orderkey", "l_extendedprice").alias("bottom_orderkey"),
+        F.max(key).getField("k").alias("top_orderkey"),
+        F.min(key).getField("k").alias("bottom_orderkey"),
         F.max("l_extendedprice").alias("top_price"),
     )
 

@@ -923,7 +923,17 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_linestatus").agg(
         r6(F.stddev_samp("l_quantity"), "sd_qty"),
         r4(F.var_samp("l_quantity"), "var_qty"),
-        r6(F.corr("l_quantity", "l_extendedprice"), "corr_qty_price"),
+        # corr from its co-moments through try_divide: Spark's corr
+        # DIVIDE_BY_ZERO-throws under ANSI when a variance is 0 (constant
+        # column — a real shape in filtered partitions); the explicit
+        # formula returns NULL there, matching DuckDB's corr
+        r6(
+            F.try_divide(
+                F.covar_samp("l_quantity", "l_extendedprice"),
+                F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+            ),
+            "corr_qty_price",
+        ),
         r6(F.covar_samp("l_quantity", "l_discount"), "cov_qty_disc"),
     )
 

@@ -1,4 +1,4 @@
-"""NULL-parity battery: the differential harness over NULL-riddled data.
+"""NULL- and tie-parity batteries: the differential harness over adversarial data.
 
 The tiny-table pytest sweep (tests/test_edge_cases.py) proves every
 registered query EXECUTES on adversarial data; this tool proves the
@@ -8,7 +8,10 @@ alternates NULL (the shape heavily-filtered or late-arriving 100 TB
 data actually has), then runs the full oracle comparison from
 tools/check.py against the planted directory.
 
-Run: python tools/null_parity.py [n_rows]   (default 8)
+Run: python tools/null_parity.py [n_rows]          # NULL mode (default 8 rows)
+     python tools/null_parity.py --ties [n_rows]   # tie mode: every value column
+                                                   # CONSTANT, so every ordering,
+                                                   # arg-extreme, and top-k ties
 
 Every oracle-paired query must hold exact value parity except the
 explicitly whitelisted divergences below — each with the reason the
@@ -48,36 +51,50 @@ EXPECTED_DIVERGENCE: dict[str, str] = {
         "the pivot value list is pinned to ['F', 'O'] (production melts "
         "enumerate their columns); planted statuses contain neither, so "
         "the unpivot correctly yields nothing while the group-by oracle "
-        "reports the planted domain"
+        "reports the planted domain (applies in both modes)"
     ),
 }
 
+# tie mode found real bugs on first run: Spark corr DIVIDE_BY_ZERO-threw
+# under ANSI on zero-variance groups (now computed via try_divide of
+# co-moments), and bare max_by/min_by elected DIFFERENT orderkeys per
+# engine under price ties (now a lexicographic composite-struct extreme).
+TIE_EXPECTED_DIVERGENCE: dict[str, str] = {
+    "q_agg_unpivot": EXPECTED_DIVERGENCE["q_agg_unpivot"],
+}
 
-def _synth_value(dtype, i: int):
+
+def _synth_value(dtype, i: int, ties: bool = False):
     import pyspark.sql.types as T
 
     if isinstance(dtype, (T.LongType, T.IntegerType)):
-        return i
+        return 7 if ties else i
     if isinstance(dtype, T.DoubleType):
-        return float(i) + 0.5
+        return 3.5 if ties else float(i) + 0.5
     if isinstance(dtype, T.StringType):
-        return f"tok{i} alpha beta"
+        return "same same same" if ties else f"tok{i} alpha beta"
     if isinstance(dtype, (T.TimestampNTZType, T.TimestampType)):
+        if ties:
+            return dt.datetime(1996, 6, 1)
         return dt.datetime(1996, 1, 1) + dt.timedelta(days=i)
     if isinstance(dtype, T.ArrayType):
+        if ties:
+            return [1.0] * 64
         return [float((i + j) % 7) for j in range(64)]
     if isinstance(dtype, T.BinaryType):
-        return bytes([i % 256] * 4)
+        return b"\x01\x02" if ties else bytes([i % 256] * 4)
     raise ValueError(f"no synth value for {dtype}")
 
 
-def plant(spark, base: str, n_rows: int) -> str:
-    """Every catalog table with keys dense and non-key columns
-    alternating NULL — the same shape as the pytest sweep's [n, True]
-    parametrization (kept in lockstep with tests/test_edge_cases.py)."""
+def plant(spark, base: str, n_rows: int, ties: bool = False) -> str:
+    """NULL mode: keys dense, non-key columns alternating NULL — the same
+    shape as the pytest sweep's [n, True] parametrization (kept in
+    lockstep with tests/test_edge_cases.py). Tie mode: keys dense, EVERY
+    non-key column constant, so every ORDER BY, arg-extreme, and top-k
+    in the registry ties on its whole input."""
     from kse.catalog import SCHEMAS
 
-    sf_dir = os.path.join(base, f"null_sf_{n_rows}")
+    sf_dir = os.path.join(base, f"{'tie' if ties else 'null'}_sf_{n_rows}")
     os.makedirs(sf_dir, exist_ok=True)
     key_suffixes = ("key", "_id", "id")
     for name, schema in SCHEMAS.items():
@@ -86,10 +103,10 @@ def plant(spark, base: str, n_rows: int) -> str:
             row = []
             for j, f in enumerate(schema.fields):
                 is_key = any(f.name.endswith(sfx) for sfx in key_suffixes)
-                if not is_key and (i + j) % 2 == 0:
+                if not ties and not is_key and (i + j) % 2 == 0:
                     row.append(None)
                 else:
-                    row.append(_synth_value(f.dataType, i))
+                    row.append(_synth_value(f.dataType, i, ties and not is_key))
             rows.append(tuple(row))
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "overwrite"
@@ -103,12 +120,16 @@ def main() -> int:
     from kse import registry
     from kse.session import get_session
 
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:]]
+    ties = "--ties" in args
+    args = [a for a in args if a != "--ties"]
+    n_rows = int(args[0]) if args else 8
+    expected = TIE_EXPECTED_DIVERGENCE if ties else EXPECTED_DIVERGENCE
     spark = get_session("kse-null-parity")
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="kse-null-parity-")
     try:
-        sf_dir = plant(spark, base, n_rows)
+        sf_dir = plant(spark, base, n_rows, ties)
         con = check.duck_connect(sf_dir)
         qs = registry.all_queries()
         unexpected, stale, n_pass, n_skip = [], [], 0, 0
@@ -129,10 +150,10 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001 — report, don't abort
                 errs = [f"{type(exc).__name__}: {str(exc)[:120]}"]
             diverged = bool(errs)
-            if diverged and name not in EXPECTED_DIVERGENCE:
+            if diverged and name not in expected:
                 unexpected.append((name, errs[:3]))
                 print(f"FAIL  {name}: {errs[:3]}")
-            elif not diverged and name in EXPECTED_DIVERGENCE:
+            elif not diverged and name in expected:
                 stale.append(name)
                 print(f"STALE WHITELIST  {name}: now passes — remove the entry")
             elif diverged:
@@ -141,7 +162,7 @@ def main() -> int:
             else:
                 n_pass += 1
         print(
-            f"\n== null-parity: {n_pass} ok, {len(unexpected)} unexpected "
+            f"\n== {'tie' if ties else 'null'}-parity: {n_pass} ok, {len(unexpected)} unexpected "
             f"divergences, {len(stale)} stale whitelist entries, "
             f"{n_skip} rows-only skipped =="
         )
