@@ -532,7 +532,7 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        CASE WHEN event_type IS NULL OR value IS NULL THEN NULL
-            ELSE event_type END AS t,
+            ELSE trim(event_type) END AS t,
        CASE WHEN event_type IS NULL OR value IS NULL THEN NULL
             ELSE value END AS v
 FROM events
@@ -588,14 +588,23 @@ def q_fn_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # comma concat keeps field positions; a NULL field yields an empty
     # slot that from_csv reads back as NULL, matching the oracle's raw
     # projection even on NULL-riddled data.
+    # RFC-4180-quote the free-text field: a delimiter/quote/newline inside
+    # event_type must survive the round-trip, so wrap-and-double-quotes at
+    # assembly and parse with escape='"' (univocity's doubled-quote mode).
+    # The numeric fields serialize to [-0-9.]-only text and need no quoting.
+    b = F.coalesce(F.col("event_type"), F.lit(""))
+    b_quoted = F.when(
+        b.rlike('[",\n\r]'),
+        F.concat(F.lit('"'), F.replace(b, F.lit('"'), F.lit('""')), F.lit('"')),
+    ).otherwise(b)
     line = F.concat(
         F.coalesce(F.col("event_id").cast("string"), F.lit("")),
         F.lit(","),
-        F.coalesce(F.col("event_type"), F.lit("")),
+        b_quoted,
         F.lit(","),
         F.coalesce(F.col("value").cast("string"), F.lit("")),
     )
-    parsed = F.from_csv(line, "a LONG, b STRING, c DOUBLE")
+    parsed = F.from_csv(line, "a LONG, b STRING, c DOUBLE", {"escape": '"'})
     return e.select(
         "event_id",
         parsed.getField("a").alias("a"),

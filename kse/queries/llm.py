@@ -912,7 +912,7 @@ WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents
 sh AS (
   SELECT doc_id,
          list_transform(range(1, greatest(len(tok) - 2, 1) + 1),
-            i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS shingles
+            i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])) AS shingles
   FROM tk
 )
 SELECT doc_id,
@@ -2359,7 +2359,17 @@ SELECT doc_id,
        CAST(n_chars % 64 + 16 AS INT) AS width,
        CAST(n_chars % 48 + 12 AS INT) AS height,
        CAST(list_aggregate(list_transform(string_split(substring(text, 1, 32), ''),
-            c -> unicode(c)), 'sum') % 65536 AS BIGINT) AS checksum
+            c -> CASE
+              WHEN unicode(c) < 128 THEN unicode(c)
+              WHEN unicode(c) < 2048 THEN
+                192 + (unicode(c) // 64) + 128 + (unicode(c) % 64)
+              WHEN unicode(c) < 65536 THEN
+                224 + (unicode(c) // 4096)
+                + 128 + ((unicode(c) // 64) % 64) + 128 + (unicode(c) % 64)
+              ELSE
+                240 + (unicode(c) // 262144) + 128 + ((unicode(c) // 4096) % 64)
+                + 128 + ((unicode(c) // 64) % 64) + 128 + (unicode(c) % 64)
+            END), 'sum') % 65536 AS BIGINT) AS checksum
 FROM documents
 """,
     doc=(
@@ -2372,8 +2382,10 @@ FROM documents
         "`_fake_decode` for PIL/ffmpeg on a real cluster. Batch shape, "
         "partitioning, and UDF signature are production-real, and because "
         "the fake decode is deterministic (byte count + byte-sum checksum "
-        "of the payload, ASCII corpus — verified), even the Python-side "
-        "Arrow path is value-checked against a DuckDB recomputation."
+        "of the payload), even the Python-side Arrow path is value-"
+        "checked against a DuckDB recomputation — the oracle derives each "
+        "codepoint's UTF-8 byte sum arithmetically, so parity holds on "
+        "non-ASCII text too (hostile-string battery)."
     ),
 )
 def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:

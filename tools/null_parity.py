@@ -12,6 +12,9 @@ Run: python tools/null_parity.py [n_rows]          # NULL mode (default 8 rows)
      python tools/null_parity.py --ties [n_rows]   # tie mode: every value column
                                                    # CONSTANT, so every ordering,
                                                    # arg-extreme, and top-k ties
+     python tools/null_parity.py --nasty [n_rows]  # hostile-string mode: quotes,
+                                                   # embedded newlines, unicode,
+                                                   # regex metachars, edge spaces
 
 Every oracle-paired query must hold exact value parity except the
 explicitly whitelisted divergences below — each with the reason the
@@ -55,6 +58,23 @@ EXPECTED_DIVERGENCE: dict[str, str] = {
     ),
 }
 
+# hostile-string mode found 4 real pair bugs on first run: the embedded-CSV
+# round-trip garbled fields containing delimiters/quotes (now RFC-4180
+# quoted at assembly, parsed with escape='"'); from_xml trims element-text
+# whitespace (oracle now trims); the fingerprint oracle NULLed 2-token
+# docs through '||' where concat_ws matches Spark; and the multimodal
+# checksum oracle summed codepoints where the engine sums UTF-8 bytes.
+NASTY_STRINGS = [
+    'quote " and comma,',
+    "embedded\nnewline tok",
+    "unicode \u6c49\u5b57 \u00e9\u00fc \u00df",
+    "regex .* [a-z]+ (meta) $^",
+    "back\\slash\ttab",
+    "ALL CAPS MiXeD case",
+    "trailing space ",
+    " leading space",
+]
+
 # tie mode found real bugs on first run: Spark corr DIVIDE_BY_ZERO-threw
 # under ANSI on zero-variance groups (now computed via try_divide of
 # co-moments), and bare max_by/min_by elected DIFFERENT orderkeys per
@@ -63,8 +83,12 @@ TIE_EXPECTED_DIVERGENCE: dict[str, str] = {
     "q_agg_unpivot": EXPECTED_DIVERGENCE["q_agg_unpivot"],
 }
 
+NASTY_EXPECTED_DIVERGENCE: dict[str, str] = {
+    "q_agg_unpivot": EXPECTED_DIVERGENCE["q_agg_unpivot"],
+}
 
-def _synth_value(dtype, i: int, ties: bool = False):
+
+def _synth_value(dtype, i: int, ties: bool = False, nasty: bool = False):
     import pyspark.sql.types as T
 
     if isinstance(dtype, (T.LongType, T.IntegerType)):
@@ -72,6 +96,8 @@ def _synth_value(dtype, i: int, ties: bool = False):
     if isinstance(dtype, T.DoubleType):
         return 3.5 if ties else float(i) + 0.5
     if isinstance(dtype, T.StringType):
+        if nasty:
+            return NASTY_STRINGS[i % len(NASTY_STRINGS)]
         return "same same same" if ties else f"tok{i} alpha beta"
     if isinstance(dtype, (T.TimestampNTZType, T.TimestampType)):
         if ties:
@@ -86,15 +112,19 @@ def _synth_value(dtype, i: int, ties: bool = False):
     raise ValueError(f"no synth value for {dtype}")
 
 
-def plant(spark, base: str, n_rows: int, ties: bool = False) -> str:
+def plant(spark, base: str, n_rows: int, ties: bool = False, nasty: bool = False) -> str:
     """NULL mode: keys dense, non-key columns alternating NULL — the same
     shape as the pytest sweep's [n, True] parametrization (kept in
     lockstep with tests/test_edge_cases.py). Tie mode: keys dense, EVERY
     non-key column constant, so every ORDER BY, arg-extreme, and top-k
-    in the registry ties on its whole input."""
+    in the registry ties on its whole input. Nasty mode: keys dense, no
+    NULLs, every string column cycling through hostile content (RFC-
+    breaking quotes/commas, newlines, multi-byte unicode, regex
+    metacharacters, leading/trailing whitespace)."""
     from kse.catalog import SCHEMAS
 
-    sf_dir = os.path.join(base, f"{'tie' if ties else 'null'}_sf_{n_rows}")
+    mode = "tie" if ties else ("nasty" if nasty else "null")
+    sf_dir = os.path.join(base, f"{mode}_sf_{n_rows}")
     os.makedirs(sf_dir, exist_ok=True)
     key_suffixes = ("key", "_id", "id")
     for name, schema in SCHEMAS.items():
@@ -103,10 +133,12 @@ def plant(spark, base: str, n_rows: int, ties: bool = False) -> str:
             row = []
             for j, f in enumerate(schema.fields):
                 is_key = any(f.name.endswith(sfx) for sfx in key_suffixes)
-                if not ties and not is_key and (i + j) % 2 == 0:
+                if not ties and not nasty and not is_key and (i + j) % 2 == 0:
                     row.append(None)
                 else:
-                    row.append(_synth_value(f.dataType, i, ties and not is_key))
+                    row.append(
+                        _synth_value(f.dataType, i, ties and not is_key, nasty)
+                    )
             rows.append(tuple(row))
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "overwrite"
@@ -122,14 +154,20 @@ def main() -> int:
 
     args = [a for a in sys.argv[1:]]
     ties = "--ties" in args
-    args = [a for a in args if a != "--ties"]
+    nasty = "--nasty" in args
+    args = [a for a in args if not a.startswith("--")]
     n_rows = int(args[0]) if args else 8
-    expected = TIE_EXPECTED_DIVERGENCE if ties else EXPECTED_DIVERGENCE
+    if ties:
+        expected = TIE_EXPECTED_DIVERGENCE
+    elif nasty:
+        expected = NASTY_EXPECTED_DIVERGENCE
+    else:
+        expected = EXPECTED_DIVERGENCE
     spark = get_session("kse-null-parity")
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="kse-null-parity-")
     try:
-        sf_dir = plant(spark, base, n_rows, ties)
+        sf_dir = plant(spark, base, n_rows, ties, nasty)
         con = check.duck_connect(sf_dir)
         qs = registry.all_queries()
         unexpected, stale, n_pass, n_skip = [], [], 0, 0
@@ -162,7 +200,8 @@ def main() -> int:
             else:
                 n_pass += 1
         print(
-            f"\n== {'tie' if ties else 'null'}-parity: {n_pass} ok, {len(unexpected)} unexpected "
+            f"\n== {'tie' if ties else ('nasty' if nasty else 'null')}-parity: "
+            f"{n_pass} ok, {len(unexpected)} unexpected "
             f"divergences, {len(stale)} stale whitelist entries, "
             f"{n_skip} rows-only skipped =="
         )
