@@ -1588,3 +1588,48 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
         "attr_price",
         F.col("_to").isNull().alias("is_current"),
     )
+
+
+@register(
+    "q_agg_groupby_wide",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+         / 1000000.0 AS sum_base_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
+                     AS HUGEINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc=(
+        "Overflow-safe twin of the flagship aggregate — the form that "
+        "stays exact past dsum's bounds. The BIGINT micro-unit sum "
+        "(_util.dsum) is exact while a group's total stays under 2^63 "
+        "micro-units and round-trips through the final double division "
+        "under 2^53 (~$9.2e9/group at 6 dp); a 100 TB group can exceed "
+        "both. Here the micro-units accumulate in DECIMAL(38,0) (Spark) "
+        "/ HUGEINT (DuckDB) — exact to 1e38, i.e. ~$1e32 per group — and "
+        "only the FINAL exact total converts to double, so both engines "
+        "round the same single integer and the hash gate still applies. "
+        "Cost: decimal aggregation runs outside the primitive-long fast "
+        "path (~2x on the sum itself, profiled in _util.dsum's note) — "
+        "the price of unbounded-scale exactness, paid only where group "
+        "totals can actually overflow. Same plan shape as the flagship: "
+        "map-side partial decimal sums, 6-group shuffle."
+    ),
+)
+def q_agg_groupby_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+
+    def wide_sum(c, alias):
+        micro = F.floor(c * 1000000.0 + 0.5).cast("decimal(38,0)")
+        return (F.sum(micro).cast("double") / 1000000.0).alias(alias)
+
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        wide_sum(F.col("l_extendedprice"), "sum_base_price"),
+        wide_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+    )
