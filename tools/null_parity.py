@@ -15,6 +15,10 @@ Run: python tools/null_parity.py [n_rows]          # NULL mode (default 8 rows)
      python tools/null_parity.py --nasty [n_rows]  # hostile-string mode: quotes,
                                                    # embedded newlines, unicode,
                                                    # regex metachars, edge spaces
+     python tools/null_parity.py --dupkeys [n_rows] # duplicate-key mode: every key
+                                                   # value appears twice — probes
+                                                   # which pairs RELY on key
+                                                   # identity (PK contracts)
 
 Every oracle-paired query must hold exact value parity except the
 explicitly whitelisted divergences below — each with the reason the
@@ -87,8 +91,44 @@ NASTY_EXPECTED_DIVERGENCE: dict[str, str] = {
     "q_agg_unpivot": EXPECTED_DIVERGENCE["q_agg_unpivot"],
 }
 
+# Duplicate-key mode: the whitelist is a MAP of which queries rely on a
+# key-identity contract (primary-key uniqueness — guaranteed by the
+# schemas and by TPC-H's definitions). Under deliberately-corrupt
+# duplicate keys each pair diverges exactly where that contract is used;
+# documenting the reliance is the point (the r03 sliding-frame bug WAS an
+# undocumented uniqueness assumption). Everything not listed here must
+# hold parity even on duplicate keys.
+_DOC_IDENTITY = (
+    "per-document outputs key on doc_id identity (Spark groups the "
+    "duplicate ids into one document, the oracle scores each row); "
+    "duplicate doc_ids are contract-violating input"
+)
+_VEC_IDENTITY = (
+    "centroid seeding (vec_id < k) and per-vector outputs key on vec_id "
+    "identity; duplicate vector ids make 'the first k vectors' ambiguous "
+    "and are contract-violating input"
+)
+DUP_EXPECTED_DIVERGENCE: dict[str, str] = {
+    "q_agg_unpivot": EXPECTED_DIVERGENCE["q_agg_unpivot"],
+    "q_tpch_q13": (
+        "the aggregate-before-join rewrite is the standard aggregate-"
+        "pushdown-through-PK-join rule: legal because c_custkey is a "
+        "primary key (TPC-H contract); under duplicate customers the "
+        "spec's join-then-count double-counts per duplicate row instead"
+    ),
+    "q_llm_fingerprint": _DOC_IDENTITY,
+    "q_udf_simhash_arrow": _DOC_IDENTITY,
+    "q_llm_kmeans": _VEC_IDENTITY,
+    "q_llm_sim_ivf": _VEC_IDENTITY,
+    "q_llm_sim_ann_recall": _VEC_IDENTITY,
+    "q_llm_dedup_semantic": _VEC_IDENTITY,
+    "q_llm_dedup_semantic_arrow": _VEC_IDENTITY,
+}
+
 
 def _synth_value(dtype, i: int, ties: bool = False, nasty: bool = False):
+    # (dupkeys mode reuses the default generators; key duplication is
+    # handled by the caller passing i // 2 for key columns)
     import pyspark.sql.types as T
 
     if isinstance(dtype, (T.LongType, T.IntegerType)):
@@ -112,7 +152,10 @@ def _synth_value(dtype, i: int, ties: bool = False, nasty: bool = False):
     raise ValueError(f"no synth value for {dtype}")
 
 
-def plant(spark, base: str, n_rows: int, ties: bool = False, nasty: bool = False) -> str:
+def plant(
+    spark, base: str, n_rows: int,
+    ties: bool = False, nasty: bool = False, dupkeys: bool = False,
+) -> str:
     """NULL mode: keys dense, non-key columns alternating NULL — the same
     shape as the pytest sweep's [n, True] parametrization (kept in
     lockstep with tests/test_edge_cases.py). Tie mode: keys dense, EVERY
@@ -120,10 +163,13 @@ def plant(spark, base: str, n_rows: int, ties: bool = False, nasty: bool = False
     in the registry ties on its whole input. Nasty mode: keys dense, no
     NULLs, every string column cycling through hostile content (RFC-
     breaking quotes/commas, newlines, multi-byte unicode, regex
-    metacharacters, leading/trailing whitespace)."""
+    metacharacters, leading/trailing whitespace). Dupkeys mode: every
+    KEY value appears twice (value columns stay distinct per row) —
+    deliberately corrupt identity columns, probing which pairs rely on
+    the primary-key contract."""
     from kse.catalog import SCHEMAS
 
-    mode = "tie" if ties else ("nasty" if nasty else "null")
+    mode = "tie" if ties else ("nasty" if nasty else ("dup" if dupkeys else "null"))
     sf_dir = os.path.join(base, f"{mode}_sf_{n_rows}")
     os.makedirs(sf_dir, exist_ok=True)
     key_suffixes = ("key", "_id", "id")
@@ -133,7 +179,9 @@ def plant(spark, base: str, n_rows: int, ties: bool = False, nasty: bool = False
             row = []
             for j, f in enumerate(schema.fields):
                 is_key = any(f.name.endswith(sfx) for sfx in key_suffixes)
-                if not ties and not nasty and not is_key and (i + j) % 2 == 0:
+                if dupkeys:
+                    row.append(_synth_value(f.dataType, i // 2 if is_key else i))
+                elif not ties and not nasty and not is_key and (i + j) % 2 == 0:
                     row.append(None)
                 else:
                     row.append(
@@ -155,19 +203,22 @@ def main() -> int:
     args = [a for a in sys.argv[1:]]
     ties = "--ties" in args
     nasty = "--nasty" in args
+    dupkeys = "--dupkeys" in args
     args = [a for a in args if not a.startswith("--")]
     n_rows = int(args[0]) if args else 8
     if ties:
         expected = TIE_EXPECTED_DIVERGENCE
     elif nasty:
         expected = NASTY_EXPECTED_DIVERGENCE
+    elif dupkeys:
+        expected = DUP_EXPECTED_DIVERGENCE
     else:
         expected = EXPECTED_DIVERGENCE
     spark = get_session("kse-null-parity")
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="kse-null-parity-")
     try:
-        sf_dir = plant(spark, base, n_rows, ties, nasty)
+        sf_dir = plant(spark, base, n_rows, ties, nasty, dupkeys)
         con = check.duck_connect(sf_dir)
         qs = registry.all_queries()
         unexpected, stale, n_pass, n_skip = [], [], 0, 0
@@ -200,7 +251,7 @@ def main() -> int:
             else:
                 n_pass += 1
         print(
-            f"\n== {'tie' if ties else ('nasty' if nasty else 'null')}-parity: "
+            f"\n== {'tie' if ties else ('nasty' if nasty else ('dup' if dupkeys else 'null'))}-parity: "
             f"{n_pass} ok, {len(unexpected)} unexpected "
             f"divergences, {len(stale)} stale whitelist entries, "
             f"{n_skip} rows-only skipped =="
