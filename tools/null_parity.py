@@ -1,4 +1,4 @@
-"""NULL- and tie-parity batteries: the differential harness over adversarial data.
+"""Adversarial-parity batteries: the differential harness over hostile data shapes.
 
 The tiny-table pytest sweep (tests/test_edge_cases.py) proves every
 registered query EXECUTES on adversarial data; this tool proves the
