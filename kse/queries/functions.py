@@ -592,11 +592,19 @@ def q_fn_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event_type must survive the round-trip, so wrap-and-double-quotes at
     # assembly and parse with escape='"' (univocity's doubled-quote mode).
     # The numeric fields serialize to [-0-9.]-only text and need no quoting.
-    b = F.coalesce(F.col("event_type"), F.lit(""))
-    b_quoted = F.when(
-        b.rlike('[",\n\r]'),
-        F.concat(F.lit('"'), F.replace(b, F.lit('"'), F.lit('""')), F.lit('"')),
-    ).otherwise(b)
+    # NULL writes a BARE empty slot (parses back to NULL), the empty
+    # STRING writes a quoted "" (parses back to '') — the RFC convention
+    # that keeps '' and NULL distinct through the round-trip
+    b = F.col("event_type")
+    b_quoted = (
+        F.when(b.isNull(), F.lit(""))
+        .when(b == "", F.lit('""'))
+        .when(
+            b.rlike('[",\n\r]'),
+            F.concat(F.lit('"'), F.replace(b, F.lit('"'), F.lit('""')), F.lit('"')),
+        )
+        .otherwise(b)
+    )
     line = F.concat(
         F.coalesce(F.col("event_id").cast("string"), F.lit("")),
         F.lit(","),
@@ -604,7 +612,14 @@ def q_fn_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(","),
         F.coalesce(F.col("value").cast("string"), F.lit("")),
     )
-    parsed = F.from_csv(line, "a LONG, b STRING, c DOUBLE", {"escape": '"'})
+    # nullValue sentinel + emptyValue='': a bare empty slot parses to
+    # NULL while a quoted "" parses to the empty string — without the
+    # sentinel both collapse to NULL (nullValue defaults to '')
+    parsed = F.from_csv(
+        line,
+        "a LONG, b STRING, c DOUBLE",
+        {"escape": '"', "nullValue": "\\N", "emptyValue": ""},
+    )
     return e.select(
         "event_id",
         parsed.getField("a").alias("a"),

@@ -2360,6 +2360,7 @@ SELECT doc_id,
        CAST(n_chars % 48 + 12 AS INT) AS height,
        CAST(list_aggregate(list_transform(string_split(substring(text, 1, 32), ''),
             c -> CASE
+              WHEN c = '' THEN 0
               WHEN unicode(c) < 128 THEN unicode(c)
               WHEN unicode(c) < 2048 THEN
                 192 + (unicode(c) // 64) + 128 + (unicode(c) % 64)

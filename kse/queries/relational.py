@@ -158,12 +158,17 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = os.path.join(_format_stage_dir(sf_dir), "nation.csv")
     pdf = pd.read_parquet(table_path(sf_dir, "nation"))
     tmp = dest + ".tmp"
-    pdf.to_csv(tmp, index=False, quoting=_csv.QUOTE_ALL)
+    # na_rep sentinel: pandas writes BOTH None and '' as "" under
+    # QUOTE_ALL, which would collapse the distinction; \N for NULL (the
+    # classic mysqldump convention) + nullValue='\N' on the read keeps
+    # '' and NULL distinct through the round-trip
+    pdf.to_csv(tmp, index=False, quoting=_csv.QUOTE_ALL, na_rep="\\N")
     os.replace(tmp, dest)
     return (
         spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("header", "true")
         .option("escape", '"')
+        .option("nullValue", "\\N")
         # multiLine: RFC 4180 allows embedded newlines inside quoted
         # fields, and without it the reader splits such rows (verified
         # with an adversarial-strings test). The cost is real: multiLine

@@ -69,6 +69,7 @@ EXPECTED_DIVERGENCE: dict[str, str] = {
 # docs through '||' where concat_ws matches Spark; and the multimodal
 # checksum oracle summed codepoints where the engine sums UTF-8 bytes.
 NASTY_STRINGS = [
+    "",  # empty string: distinct from NULL, splits to [''], len 0
     'quote " and comma,',
     "embedded\nnewline tok",
     "unicode \u6c49\u5b57 \u00e9\u00fc \u00df",
