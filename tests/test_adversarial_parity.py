@@ -1,0 +1,89 @@
+"""In-suite guard for the adversarial-parity bug classes.
+
+tools/null_parity.py runs the FULL registry over four adversarial data
+shapes (~5 min per mode); this test keeps a fast representative slice of
+it inside the normal pytest loop: the queries whose pairs were actually
+fixed by the batteries, compared against their oracles on freshly
+planted null / all-ties / hostile-string data. A regression in any of
+the fixed classes (concat null semantics, pivot zero-fill, CSV/XML/JSON
+round-trips, UTF-8 checksums, zero-variance corr, tie-broken argmax,
+NULL vectors in k-means) fails here within seconds instead of waiting
+for the next full battery run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import check  # noqa: E402  — tools/check.py
+import null_parity  # noqa: E402  — tools/null_parity.py
+
+# the pairs the batteries fixed, grouped by the data shape that broke them
+REPRESENTATIVES = {
+    "null": [
+        "q_agg_collect",        # '' vs NULL for all-NULL collect_set groups
+        "q_agg_pivot",          # COUNT cells zero-fill
+        "q_agg_boolean",        # None-vs-NaN comparison layer
+        "q_fn_array",           # NULL-array position mirror
+        "q_fn_to_json",         # explicit JSON nulls
+        "q_fn_json",            # try_ parse on malformed props
+        "q_llm_dedup_minhash",  # no ''-shingle phantom candidates
+        "q_llm_kmeans",         # NULL is not a vector
+        "q_llm_dedup_semantic_arrow",  # ragged-ndarray crash class
+    ],
+    "ties": [
+        "q_agg_stats",          # corr must not throw on zero variance
+        "q_agg_minmax_by",      # total-order argmax tie-break
+        "q_topk_per_group",     # deterministic top-k under ties
+    ],
+    "nasty": [
+        "q_fn_from_csv",        # RFC-quoted round-trip incl. '' vs NULL
+        "q_fn_xml",             # element-text whitespace trim mirror
+        "q_fn_string",          # concat_ws on both engines
+        "q_llm_fingerprint",    # concat_ws degenerate shingles
+        "q_llm_multimodal",     # UTF-8 byte-sum checksum
+        "src_csv",              # file round-trip with the \\N sentinel
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    """One planted directory per adversarial mode."""
+    from kse import catalog, registry
+
+    base = tmp_path_factory.mktemp("adversarial")
+    dirs = {
+        "null": null_parity.plant(spark, str(base), 6),
+        "ties": null_parity.plant(spark, str(base), 6, ties=True),
+        "nasty": null_parity.plant(spark, str(base), 6, nasty=True),
+    }
+    yield dirs
+    for sf_dir in dirs.values():
+        for tbl in catalog.SCHEMAS:
+            catalog._RELATION_CACHE.pop((id(spark), sf_dir, tbl), None)
+        registry.invalidate_plans(sf_dir, spark)
+
+
+@pytest.mark.parametrize(
+    "mode,name",
+    [(m, n) for m, names in REPRESENTATIVES.items() for n in names],
+)
+def test_pair_holds_adversarial_parity(spark, planted, mode, name):
+    from kse import registry
+
+    q = registry.all_queries()[name]
+    sf_dir = planted[mode]
+    con = check.duck_connect(sf_dir)
+    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    duck_pdf = con.execute(q.oracle or q.check_oracle).df()
+    if q.oracle is not None:
+        errs = check.compare(spark_pdf, duck_pdf)
+    else:
+        errs = check.compare_tol(spark_pdf, duck_pdf, q.check_rel_tol or 0.01)
+    assert not errs, f"{name} under {mode} data: {errs}"
