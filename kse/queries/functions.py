@@ -139,10 +139,10 @@ SELECT l_orderkey, l_linenumber,
        CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
        abs(l_discount - 0.05) AS disc_dev,
        l_quantity * l_quantity AS qty_sq,
-       sqrt(l_quantity) AS qty_sqrt,
+       CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END AS qty_sqrt,
        round(exp(l_discount), 6) AS disc_exp,
-       round(ln(l_extendedprice), 6) AS price_ln,
-       round(log10(l_extendedprice), 6) AS price_log10,
+       CASE WHEN l_extendedprice > 0 THEN round(ln(l_extendedprice), 6) END AS price_ln,
+       CASE WHEN l_extendedprice > 0 THEN round(log10(l_extendedprice), 6) END AS price_log10,
        l_linenumber % 3 AS ln_mod,
        CAST(sign(l_discount - 0.03) AS INT) AS disc_sign,
        greatest(l_quantity, 25.0) AS qty_hi,
@@ -169,7 +169,10 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(p).alias("price_ceil"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         (q * q).alias("qty_sq"),
-        F.sqrt(q).alias("qty_sqrt"),
+        # domain-guarded: DuckDB sqrt/ln THROW on negatives while Spark
+        # yields NaN/NULL — both sides define the out-of-domain result
+        # as NULL, keeping the pair total over adversarial numerics
+        F.when(q >= 0, F.sqrt(q)).alias("qty_sqrt"),
         F.round(F.exp("l_discount"), 6).alias("disc_exp"),
         F.round(F.log(p), 6).alias("price_ln"),
         F.round(F.log10(p), 6).alias("price_log10"),
@@ -303,8 +306,8 @@ SELECT vec_id, label,
        CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
        round(sqrt(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
-       round(list_sum(list_transform(list_filter(embedding, x -> x > 0),
-             x -> CAST(x AS DOUBLE))), 6) AS sum_pos
+       round(coalesce(list_sum(list_transform(list_filter(embedding, x -> x > 0),
+             x -> CAST(x AS DOUBLE))), 0.0), 6) AS sum_pos
 FROM embeddings
 """,
     doc=(

@@ -19,6 +19,10 @@ Run: python tools/null_parity.py [n_rows]          # NULL mode (default 8 rows)
                                                    # value appears twice — probes
                                                    # which pairs RELY on key
                                                    # identity (PK contracts)
+     python tools/null_parity.py --neg [n_rows]    # negative-numerics mode: every
+                                                   # value number negative — math
+                                                   # domains, sign-dependent
+                                                   # division/modulo
 
 Every oracle-paired query must hold exact value parity except the
 explicitly whitelisted divergences below — each with the reason the
@@ -92,6 +96,15 @@ NASTY_EXPECTED_DIVERGENCE: dict[str, str] = {
     "q_agg_unpivot": EXPECTED_DIVERGENCE["q_agg_unpivot"],
 }
 
+# negative-numerics mode found 2 real pair gaps on first run: DuckDB
+# sqrt/ln THROW on negative input where Spark yields NaN/NULL (both
+# sides now define out-of-domain as NULL via CASE guards), and the
+# sum-of-positives fold returned 0.0 (Spark, 0-init fold) vs NULL
+# (DuckDB, list_sum of an empty list) when nothing is positive.
+NEG_EXPECTED_DIVERGENCE: dict[str, str] = {
+    "q_agg_unpivot": EXPECTED_DIVERGENCE["q_agg_unpivot"],
+}
+
 # Duplicate-key mode: the whitelist is a MAP of which queries rely on a
 # key-identity contract (primary-key uniqueness — guaranteed by the
 # schemas and by TPC-H's definitions). Under deliberately-corrupt
@@ -127,14 +140,18 @@ DUP_EXPECTED_DIVERGENCE: dict[str, str] = {
 }
 
 
-def _synth_value(dtype, i: int, ties: bool = False, nasty: bool = False):
+def _synth_value(dtype, i: int, ties: bool = False, nasty: bool = False, neg: bool = False):
     # (dupkeys mode reuses the default generators; key duplication is
     # handled by the caller passing i // 2 for key columns)
     import pyspark.sql.types as T
 
     if isinstance(dtype, (T.LongType, T.IntegerType)):
+        if neg:
+            return -i
         return 7 if ties else i
     if isinstance(dtype, T.DoubleType):
+        if neg:
+            return -(float(i) + 0.5)
         return 3.5 if ties else float(i) + 0.5
     if isinstance(dtype, T.StringType):
         if nasty:
@@ -145,6 +162,8 @@ def _synth_value(dtype, i: int, ties: bool = False, nasty: bool = False):
             return dt.datetime(1996, 6, 1)
         return dt.datetime(1996, 1, 1) + dt.timedelta(days=i)
     if isinstance(dtype, T.ArrayType):
+        if neg:
+            return [-float((i + j) % 7) for j in range(64)]
         if ties:
             return [1.0] * 64
         return [float((i + j) % 7) for j in range(64)]
@@ -156,6 +175,7 @@ def _synth_value(dtype, i: int, ties: bool = False, nasty: bool = False):
 def plant(
     spark, base: str, n_rows: int,
     ties: bool = False, nasty: bool = False, dupkeys: bool = False,
+    neg: bool = False,
 ) -> str:
     """NULL mode: keys dense, non-key columns alternating NULL — the same
     shape as the pytest sweep's [n, True] parametrization (kept in
@@ -167,10 +187,21 @@ def plant(
     metacharacters, leading/trailing whitespace). Dupkeys mode: every
     KEY value appears twice (value columns stay distinct per row) —
     deliberately corrupt identity columns, probing which pairs rely on
-    the primary-key contract."""
+    the primary-key contract. Neg mode: keys dense and positive, every
+    value number NEGATIVE — math-function domains and sign-dependent
+    integer semantics."""
     from kse.catalog import SCHEMAS
 
-    mode = "tie" if ties else ("nasty" if nasty else ("dup" if dupkeys else "null"))
+    if ties:
+        mode = "tie"
+    elif nasty:
+        mode = "nasty"
+    elif dupkeys:
+        mode = "dup"
+    elif neg:
+        mode = "neg"
+    else:
+        mode = "null"
     sf_dir = os.path.join(base, f"{mode}_sf_{n_rows}")
     os.makedirs(sf_dir, exist_ok=True)
     key_suffixes = ("key", "_id", "id")
@@ -182,6 +213,10 @@ def plant(
                 is_key = any(f.name.endswith(sfx) for sfx in key_suffixes)
                 if dupkeys:
                     row.append(_synth_value(f.dataType, i // 2 if is_key else i))
+                elif neg:
+                    row.append(
+                        _synth_value(f.dataType, i, neg=not is_key)
+                    )
                 elif not ties and not nasty and not is_key and (i + j) % 2 == 0:
                     row.append(None)
                 else:
@@ -205,6 +240,7 @@ def main() -> int:
     ties = "--ties" in args
     nasty = "--nasty" in args
     dupkeys = "--dupkeys" in args
+    neg = "--neg" in args
     args = [a for a in args if not a.startswith("--")]
     n_rows = int(args[0]) if args else 8
     if ties:
@@ -213,13 +249,15 @@ def main() -> int:
         expected = NASTY_EXPECTED_DIVERGENCE
     elif dupkeys:
         expected = DUP_EXPECTED_DIVERGENCE
+    elif neg:
+        expected = NEG_EXPECTED_DIVERGENCE
     else:
         expected = EXPECTED_DIVERGENCE
     spark = get_session("kse-null-parity")
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="kse-null-parity-")
     try:
-        sf_dir = plant(spark, base, n_rows, ties, nasty, dupkeys)
+        sf_dir = plant(spark, base, n_rows, ties, nasty, dupkeys, neg)
         con = check.duck_connect(sf_dir)
         qs = registry.all_queries()
         unexpected, stale, n_pass, n_skip = [], [], 0, 0
@@ -252,7 +290,7 @@ def main() -> int:
             else:
                 n_pass += 1
         print(
-            f"\n== {'tie' if ties else ('nasty' if nasty else ('dup' if dupkeys else 'null'))}-parity: "
+            f"\n== {'tie' if ties else ('nasty' if nasty else ('dup' if dupkeys else ('neg' if neg else 'null')))}-parity: "
             f"{n_pass} ok, {len(unexpected)} unexpected "
             f"divergences, {len(stale)} stale whitelist entries, "
             f"{n_skip} rows-only skipped =="
