@@ -306,8 +306,10 @@ SELECT vec_id, label,
        CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
        round(sqrt(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
-       round(coalesce(list_sum(list_transform(list_filter(embedding, x -> x > 0),
-             x -> CAST(x AS DOUBLE))), 0.0), 6) AS sum_pos
+       CASE WHEN embedding IS NOT NULL THEN
+         round(coalesce(list_sum(list_transform(list_filter(embedding, x -> x > 0),
+               x -> CAST(x AS DOUBLE))), 0.0), 6)
+       END AS sum_pos
 FROM embeddings
 """,
     doc=(
