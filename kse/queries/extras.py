@@ -339,7 +339,14 @@ LEFT JOIN agg a ON a.h = s.h AND a.event_type = ty.event_type
         "generated with sequence() x event types, left-joined to real "
         "counts, absent buckets zero-filled. The spine is tiny (buckets x "
         "types) and broadcast; the aggregate is one shuffle. At 100 TB "
-        "the spine stays tiny — it scales with time range, not data."
+        "the spine stays tiny — it scales with TIME RANGE, not data, and "
+        "that is also its failure mode: ONE corrupt far-future timestamp "
+        "makes min..max span millennia and the materialized sequence() "
+        "OOMs the executor (reproduced: a year-1..9999 span killed the "
+        "JVM). The spine is therefore guarded by an explicit span "
+        "assertion (200k hourly buckets ≈ 23 years) that fails the query "
+        "loudly with the clamp instruction instead — the guard a "
+        "production rollup puts in front of every data-derived grid."
     ),
 )
 def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,8 +355,19 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("a"), F.date_trunc("hour", F.max("ts")).alias("b")
     )
-    spine = bounds.select(
-        F.explode(F.expr("sequence(a, b, interval 1 hour)")).alias("h")
+    # the error must live on a DIFFERENT branch than b: an equal-branch
+    # if(assert_true(..) IS NULL, b, b) gets constant-folded by
+    # SimplifyConditionals and the assert silently vanishes (measured:
+    # the unguarded OOM came back). CASE with raise_error on the else
+    # branch cannot be folded away.
+    b_guarded = F.expr(
+        "CASE WHEN timestampdiff(HOUR, a, b) <= 200000 THEN b"
+        " ELSE CAST(raise_error('gapfill spine would exceed 200000 hourly"
+        " buckets - a corrupt timestamp is stretching the grid; clamp the"
+        " time range or partition the spine') AS TIMESTAMP) END"
+    )
+    spine = bounds.select(b_guarded.alias("b2"), F.col("a")).select(
+        F.explode(F.expr("sequence(a, b2, interval 1 hour)")).alias("h")
     )
     types = e.select("event_type").distinct()
     agg = e.groupBy(hour.alias("h"), "event_type").agg(F.count("*").alias("n"))

@@ -218,3 +218,28 @@ def test_file_sources_roundtrip_adversarial_strings(spark, tmp_path):
     finally:
         for tbl in ("nation", "supplier"):
             catalog._RELATION_CACHE.pop((id(spark), sf, tbl), None)
+
+
+def test_gapfill_guards_corrupt_time_spans(spark, tmp_path):
+    """One corrupt far-future (or ancient) timestamp must not OOM the
+    data-derived hourly spine: the year-1..9999 span below killed the
+    JVM before the guard existed (reproduced), and an equal-branch
+    if(assert_true(...)) version of the guard was silently constant-
+    folded away — this test pins the raise_error form that survives
+    Catalyst and fails in seconds with the clamp instruction."""
+    import datetime as dt
+
+    from kse.catalog import SCHEMAS
+    from kse.queries.extras import q_ts_gapfill
+
+    sf_dir = tmp_path / "corrupt_ts"
+    sf_dir.mkdir()
+    rows = [
+        (0, dt.datetime(1, 1, 1), 0, "click", 1.0, "{}"),
+        (1, dt.datetime(9999, 12, 31), 1, "view", 2.0, "{}"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(sf_dir / "events.parquet")
+    )
+    with pytest.raises(Exception, match="gapfill spine"):
+        q_ts_gapfill(spark, str(sf_dir)).collect()
