@@ -119,17 +119,29 @@ def main() -> None:
 
     floor = floor_sample(float("inf"))
     timings: dict[str, float] = {}
+    # Median alongside min: round-over-round per-query comparisons on
+    # min-of-5 alone can't separate ambient drift (±15-20% on this shared
+    # host, DESIGN.md) from a real regression; the median moves far less
+    # under load spikes, so a query whose MEDIAN moved is worth triage and
+    # one whose min alone moved is noise.
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         if name in errors:
             timings[name] = -1.0
+            medians[name] = -1.0
             continue
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(5):  # best-of-5: ambient load spikes on this host
             t0 = time.perf_counter()
             if not try_materialize(name):
                 break
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4) if best != float("inf") else -1.0
+            samples.append(time.perf_counter() - t0)
+        if samples:
+            timings[name] = round(min(samples), 4)
+            medians[name] = round(sorted(samples)[len(samples) // 2], 4)
+        else:
+            timings[name] = -1.0
+            medians[name] = -1.0
     # Re-sample the floor AFTER the timed loop and keep the min: a load
     # spike during either window would otherwise inflate (or deflate) the
     # adjustment. Clamp at the fastest measured query — a floor estimate
@@ -143,6 +155,7 @@ def main() -> None:
     # in-process (the BASELINE.md protocol), so each round's JSON carries
     # its own spark-vs-duckdb ratio.
     duck: dict[str, float] = {}
+    duck_medians: dict[str, float] = {}
     try:
         import duckdb
 
@@ -161,12 +174,13 @@ def main() -> None:
             sql = qs[name].oracle
             if not sql:
                 continue
-            best = float("inf")
+            samples = []
             for _ in range(5):  # same best-of-5 protocol as the Spark side
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            duck[name] = round(best, 4)
+                samples.append(time.perf_counter() - t0)
+            duck[name] = round(min(samples), 4)
+            duck_medians[name] = round(sorted(samples)[len(samples) // 2], 4)
     except Exception:
         duck = {}
 
@@ -201,7 +215,10 @@ def main() -> None:
                 os.path.join(events_dir, "part-00000.parquet"),
             )
         n_events = spark.read.parquet(events_dir).count()
-        for _ in range(2):
+        # best-of-3: the first drain pays streaming-plan codegen (~3.5x
+        # slower, measured in tools/stream_profile.py) — with only 2 runs
+        # the reported number sometimes lands between cold and warm
+        for _ in range(3):
             workdir = tempfile.mkdtemp(prefix="kse-bench-stream-")
             try:
                 t0 = time.perf_counter()
@@ -231,6 +248,7 @@ def main() -> None:
         "value": spark_total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": sf,
         "layout_s": round(layout_s, 2),
         "cache_s": round(cache_s, 2),
@@ -243,6 +261,7 @@ def main() -> None:
     if duck:
         duck_total = round(sum(duck.values()), 4)
         out["duckdb_queries"] = duck
+        out["duckdb_queries_median"] = duck_medians
         out["duckdb_total"] = duck_total
         out["ratio_vs_duckdb_live"] = round(spark_total / duck_total, 3)
         # Work-time ratios: subtract the measured dispatch floor (the fixed

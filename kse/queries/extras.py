@@ -361,7 +361,8 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the unguarded OOM came back). CASE with raise_error on the else
     # branch cannot be folded away.
     b_guarded = F.expr(
-        "CASE WHEN timestampdiff(HOUR, a, b) <= 200000 THEN b"
+        "CASE WHEN a IS NULL OR b IS NULL THEN NULL"
+        " WHEN timestampdiff(HOUR, a, b) <= 200000 THEN b"
         " ELSE CAST(raise_error('gapfill spine would exceed 200000 hourly"
         " buckets - a corrupt timestamp is stretching the grid; clamp the"
         " time range or partition the spine') AS TIMESTAMP) END"
@@ -386,14 +387,19 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_unpivot",
     oracle="""
 SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
-FROM lineitem GROUP BY l_returnflag, l_linestatus
+FROM lineitem WHERE l_linestatus IN ('F', 'O')
+GROUP BY l_returnflag, l_linestatus
 """,
     doc=(
         "UNPIVOT / melt (wide -> long reshaping, the inverse of "
         "q_agg_pivot): pivot lineitem counts wide by linestatus, then "
         "unpivot back to (flag, status, n) rows. At scale unpivot is a "
         "per-row expand (no shuffle beyond the producing aggregate); the "
-        "value-column list is pinned, as in production melts."
+        "value-column list is pinned, as in production melts — and the "
+        "oracle pins the same domain (IN ('F','O')), because a melt over "
+        "enumerated columns only ever reports those columns; statuses "
+        "outside the list (parity batteries plant them) are correctly "
+        "absent from BOTH engines."
     ),
 )
 def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,7 +40,19 @@ edges AS (
 )"""
 
 
-_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Per-session edge memo lives ON the session object (like registry's
+# _plan_cache): GC reclaims it with the session (no id() aliasing after a
+# session dies), and registry.invalidate_plans clears it alongside the
+# plan cache when a layout changes under the same sf_dir path.
+_EDGE_CACHE_ATTR = "_kse_edge_cache"
+
+
+def _edge_cache(spark: SparkSession) -> dict[str, DataFrame]:
+    cache = getattr(spark, _EDGE_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _EDGE_CACHE_ATTR, cache)
+    return cache
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,14 +75,14 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     every algorithm — the same lineage-truncation discipline as
     min_label_components (llm.py). tools/scale10.py times the one-time
     derivation separately so the per-query numbers don't hide it."""
-    key = (id(spark), sf_dir)
-    cached = _EDGE_CACHE.get(key)
+    cache = _edge_cache(spark)
+    cached = cache.get(sf_dir)
     if cached is not None:
         return cached
     edges = _copurchase_edges_from(
         t(spark, sf_dir, "lineitem")
     ).localCheckpoint(eager=False)
-    _EDGE_CACHE[key] = edges
+    cache[sf_dir] = edges
     return edges
 
 

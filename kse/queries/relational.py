@@ -860,6 +860,48 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_sketch_merge_exact",
+    oracle="""
+SELECT event_type AS scope,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__' AS scope, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+""",
+    doc=(
+        "Exact, hash-matchable twin of q_agg_sketch_merge: the same "
+        "per-event-type + global distinct-user rollup, computed exactly "
+        "via ROLLUP(event_type) — one scan, Expand + partial aggregation, "
+        "the grand-total row standing in for the sketch path's "
+        "hll_union_agg merge. Registered so the sketch-merge FAMILY has a "
+        "row the driver can value-hash (the sketch variant is tolerance-"
+        "checked locally but necessarily 'no_oracle' to the driver); at "
+        "100 TB the sketch variant is the production path — this exact "
+        "rollup is the ground truth it is audited against."
+    ),
+)
+def q_agg_sketch_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type")
+        # grouping(), not coalesce: a data-NULL event_type group must keep
+        # scope NULL (matching the oracle's GROUP BY) — only the rollup
+        # total row becomes '__all__'
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.grouping("event_type").alias("g"),
+        )
+        .select(
+            F.when(F.col("g") == 1, F.lit("__all__"))
+            .otherwise(F.col("event_type"))
+            .alias("scope"),
+            "n_users",
+        )
+    )
+
+
+@register(
     "q_agg_percentile",
     oracle="""
 SELECT l_returnflag,

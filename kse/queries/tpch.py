@@ -735,7 +735,12 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle states.
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
-    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    # count(o_orderkey), not count(1): the oracle's post-join count skips
+    # NULL o_orderkey rows, so the pre-join aggregate must too — a row
+    # with NULL orderkey but valid custkey would otherwise count here and
+    # not there (contract-violating input, but parity must not depend on
+    # the PK contract more than the documented dup-key reliance does).
+    per_cust = o.groupBy("o_custkey").agg(F.count("o_orderkey").alias("n"))
     counts = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
         F.coalesce("n", F.lit(0)).alias("c_count")
     )
@@ -1092,9 +1097,9 @@ HAVING CAST(sum(val) AS BIGINT) > (SELECT (2 * total) // greatest(npart, 1) FROM
         "supplycost*availqty is a bigint*bigint product in micro-dollar "
         "units (bounded ~1e15, far from overflow), the total+count is a "
         "one-row scalar subquery broadcast back as the HAVING "
-        "threshold, and the comparison is pure-integer ((2*total) DIV "
-        "npart — truncating division agrees across engines for "
-        "positives), so "
+        "threshold, and the comparison is pure-integer floor division "
+        "(pmod-aligned DIV on the Spark side mirrors DuckDB's // for "
+        "either sign of the total), so "
         "the spec's sum(...) > sum(...)*fraction survives without any "
         "float tolerance. Plan shape: supplier+nation broadcast, ps "
         "shuffles once on its build key, the per-part aggregate "
@@ -1126,8 +1131,19 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(tot),
             # greatest(...,1): empty nps yields npart=0; ANSI DIV would
-            # throw where the join should simply match nothing
-            F.col("value_micro") > F.expr("(2 * total) DIV greatest(npart, 1)"),
+            # throw where the join should simply match nothing.
+            # Spark's DIV truncates toward zero while DuckDB's // floors;
+            # they differ by one when 2*total is negative (one negative
+            # supplycost*availqty factor suffices). Subtracting pmod first
+            # makes the numerator floor-aligned and exactly divisible, so
+            # DIV here IS floor division — sign-correct and overflow-safe
+            # (a value*npart multiply-compare would overflow bigint at
+            # large SF).
+            F.col("value_micro")
+            > F.expr(
+                "(2 * total - pmod(2 * total, greatest(npart, 1)))"
+                " DIV greatest(npart, 1)"
+            ),
         )
         .select("ps_partkey", "value_micro")
     )

@@ -68,6 +68,13 @@ def invalidate_plans(sf_dir: str | None = None, spark: SparkSession | None = Non
     cache = _plan_cache(spark)
     for key in [k for k in cache if sf_dir is None or k[0] == sf_dir]:
         del cache[key]
+    # Session-attached auxiliary memos (checkpointed derived datasets, e.g.
+    # the graph family's edge table) are keyed by sf_dir alone and must not
+    # outlive a layout change either.
+    aux = getattr(spark, "_kse_edge_cache", None)
+    if aux:
+        for key in [k for k in aux if sf_dir is None or k == sf_dir]:
+            del aux[key]
 
 
 def register(

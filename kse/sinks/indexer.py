@@ -40,9 +40,17 @@ def _rows_to_actions(rows: Iterable, id_col: str) -> Iterable[tuple[str, dict]]:
 
 @dataclass
 class JsonlIndexer:
-    """Filesystem 'index': ``{root}/{index}/batch=<id>-part=<pid>.jsonl``.
+    """Filesystem 'index': ``{root}/{index}/batch=<id>/part-*.txt`` JSONL.
 
-    Append-only files + last-write-wins read view == ES upsert semantics.
+    One directory per micro-batch, overwritten on replay (Spark's file
+    commit protocol makes the directory write atomic), + last-write-wins
+    read view per ``_id`` == ES upsert semantics. The write path is pure
+    JVM — ``to_json(struct(_id, _source))`` into a text sink — so no row
+    ever crosses into Python (the previous ``batch_df.rdd`` formulation
+    pickled every row through a Python worker; measured ~25% of the
+    bench drain's addBatch time at 100k events). The ES backend below
+    keeps its per-partition Python fan-out because its job IS to POST
+    from executors; this backend's job is just bytes on disk.
     """
 
     root: str
@@ -51,23 +59,16 @@ class JsonlIndexer:
         root = self.root
 
         def _write(batch_df: DataFrame, batch_id: int) -> None:
-            out_dir = os.path.join(root, index)
-            os.makedirs(out_dir, exist_ok=True)
-
-            def write_partition(pid_rows):
-                pid, rows = pid_rows
-                path = os.path.join(out_dir, f"batch={batch_id:08d}-part={pid:05d}.jsonl")
-                tmp = path + ".tmp"
-                with open(tmp, "w") as f:
-                    for doc_id, doc in _rows_to_actions(rows, id_col):
-                        f.write(json.dumps({"_id": doc_id, "_source": doc}, default=str))
-                        f.write("\n")
-                os.replace(tmp, path)  # atomic per (batch, partition) => replay-safe
-                return []
-
-            batch_df.rdd.mapPartitionsWithIndex(
-                lambda pid, rows: write_partition((pid, rows))
-            ).count()
+            out_dir = os.path.join(root, index, f"batch={batch_id:08d}")
+            payload = F.to_json(
+                F.struct(
+                    F.col(id_col).cast("string").alias("_id"),
+                    F.struct(*[F.col(c) for c in batch_df.columns]).alias("_source"),
+                )
+            )
+            # mode=overwrite: a replayed micro-batch rewrites ITS OWN
+            # directory => idempotent, same contract as the ES upserts
+            batch_df.select(payload.alias("value")).write.mode("overwrite").text(out_dir)
 
         return _write
 
@@ -75,18 +76,23 @@ class JsonlIndexer:
 
     def read_index(self, index: str) -> dict[str, dict]:
         """Materialize the index with last-write-wins per _id (what ES
-        would return after all bulks applied)."""
+        would return after all bulks applied): batch directories applied
+        in order, later batches overwriting earlier documents."""
         out: dict[str, dict] = {}
         out_dir = os.path.join(self.root, index)
         if not os.path.isdir(out_dir):
             return out
-        for fname in sorted(os.listdir(out_dir)):
-            if not fname.endswith(".jsonl"):
+        for batch in sorted(os.listdir(out_dir)):
+            batch_dir = os.path.join(out_dir, batch)
+            if not os.path.isdir(batch_dir):
                 continue
-            with open(os.path.join(out_dir, fname)) as f:
-                for line in f:
-                    rec = json.loads(line)
-                    out[rec["_id"]] = rec["_source"]
+            for fname in sorted(os.listdir(batch_dir)):
+                if fname.startswith(("_", ".")):
+                    continue  # _SUCCESS / commit markers
+                with open(os.path.join(batch_dir, fname)) as f:
+                    for line in f:
+                        rec = json.loads(line)
+                        out[rec["_id"]] = rec["_source"]
         return out
 
 

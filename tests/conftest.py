@@ -28,12 +28,29 @@ def tmp_events_dir(tmp_path):
 
 
 def write_event_chunk(dir_: str, name: str, rows: list[dict]) -> None:
-    """One JSON-lines chunk == one micro-batch under maxFilesPerTrigger=1."""
-    import json
+    """One JSON-lines chunk == one micro-batch under maxFilesPerTrigger=1.
 
-    with open(os.path.join(dir_, name), "w") as f:
+    The mtime stamp is load-bearing: Spark's FileStreamSource orders
+    files by MODIFICATION TIME (millisecond precision), and two chunks
+    written back-to-back land in the same millisecond — the tie is then
+    broken unpredictably (observed REVERSED replay: 002, 001, 000),
+    which silently turns early chunks into dropped-late data under a
+    watermark. Chunk N gets mtime = now + N milliseconds (derived from
+    the numeric filename prefix the tests already use), so replay order
+    always equals chunk order.
+    """
+    import json
+    import re
+    import time
+
+    path = os.path.join(dir_, name)
+    with open(path, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
+    m = re.match(r"(\d+)", name)
+    seq = int(m.group(1)) if m else 0
+    stamp = time.time() + seq * 0.001
+    os.utime(path, (stamp, stamp))
 
 
 def ev(event_id: int, ts: str, user_id: int = 1, etype: str = "click", value: float = 1.0) -> dict:

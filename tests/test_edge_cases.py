@@ -243,3 +243,24 @@ def test_gapfill_guards_corrupt_time_spans(spark, tmp_path):
     )
     with pytest.raises(Exception, match="gapfill spine"):
         q_ts_gapfill(spark, str(sf_dir)).collect()
+
+
+def test_gapfill_all_null_ts_yields_empty_spine(spark, tmp_path):
+    """All-NULL ts (empty-after-filter / late-arriving batches, the
+    degenerate-input contract) must yield an EMPTY spine, not trip the
+    corrupt-span guard: timestampdiff(HOUR, NULL, NULL) is NULL, and
+    without an explicit NULL branch the CASE fell through to
+    raise_error with a misleading 'corrupt timestamp' message. The
+    DuckDB oracle returns zero rows here; so must we."""
+    import datetime as dt  # noqa: F401
+
+    from kse.catalog import SCHEMAS
+    from kse.queries.extras import q_ts_gapfill
+
+    sf_dir = tmp_path / "all_null_ts"
+    sf_dir.mkdir()
+    rows = [(0, None, 0, "click", 1.0, "{}"), (1, None, 1, "view", 2.0, "{}")]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(sf_dir / "events.parquet")
+    )
+    assert q_ts_gapfill(spark, str(sf_dir)).count() == 0

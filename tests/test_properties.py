@@ -254,3 +254,60 @@ def test_minhash_pairs_match_python_reference(spark, docs):
         if any(sigs[i][k] == sigs[j][k] for k in range(4))
     }
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user_id
+            st.integers(min_value=0, max_value=600),  # offset minutes
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_session_window_matches_batch_fold_property(spark, user_offsets):
+    """session_window (the st_session engine operator) and the batch
+    lag-fold (q_win_sessionize's plan) must agree on session COUNT,
+    membership, and span for ANY gap structure — including the exact-gap
+    boundary (two events exactly 30min apart are ONE session in both:
+    session_window merges when end == next start, the fold opens a new
+    session only on strictly-greater gaps). The two operators are
+    documented as identical-gap-semantics twins (kse/streaming/windows.py
+    session_counts); this property pins that claim over random gaps."""
+    import datetime as dt
+
+    gap_min = 30
+    base = dt.datetime(2024, 1, 1)
+    rows = sorted(set(user_offsets))
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(minutes=m)) for u, m in rows],
+        "user_id long, ts timestamp",
+    )
+    engine = (
+        df.groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("start"), "n_events")
+        .collect()
+    )
+    got = {(r.user_id, r.start, r.n_events) for r in engine}
+
+    # reference: the batch fold semantics (new session iff gap > 30min)
+    expect = set()
+    by_user: dict[int, list] = {}
+    for u, m in rows:
+        by_user.setdefault(u, []).append(m)
+    for u, ms in by_user.items():
+        ms.sort()
+        start, n = ms[0], 1
+        prev = ms[0]
+        for m in ms[1:]:
+            if m - prev > gap_min:
+                expect.add((u, base + dt.timedelta(minutes=start), n))
+                start, n = m, 1
+            else:
+                n += 1
+            prev = m
+        expect.add((u, base + dt.timedelta(minutes=start), n))
+    assert got == expect

@@ -702,3 +702,69 @@ def test_foreachbatch_incremental_bloom_dedup(spark, tmp_path):
 
     flags = {r.doc_id: r.is_dup for r in spark.read.parquet(out_dir).collect()}
     assert flags == {1: False, 2: False, 3: True, 4: False}
+
+
+def test_session_windows_random_gaps_match_batch_fold(spark, tmp_events_dir, tmp_path):
+    """Randomized (seeded) gap structure replayed as TWO micro-batches:
+    sessions spanning the chunk boundary must merge in the state store,
+    and the final emitted sessions must equal the batch lag-fold
+    (q_win_sessionize semantics: new session iff gap > 30min) on the
+    same events. The hypothesis twin in test_properties.py covers the
+    operator's batch semantics; this covers the stateful merge path."""
+    import random
+
+    rng = random.Random(20260815)
+    gap_min = 30
+    events, t = [], {}
+    for eid in range(40):
+        u = rng.randint(1, 3)
+        t[u] = t.get(u, 0) + rng.choice([1, 5, 29, 30, 31, 90])
+        events.append((eid, u, t[u]))
+    base = "2024-01-01T00:00:00Z"
+
+    def iso(minutes):
+        import datetime as dt
+
+        b = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        return (b + dt.timedelta(minutes=minutes)).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    # replay in GLOBAL time order (the watermark contract: a file-source
+    # replay models an in-order stream; per-user interleaving that jumps
+    # back past the watermark would be late data, correctly dropped)
+    events.sort(key=lambda e: (e[2], e[0]))
+    rows = [ev(eid, iso(m), user_id=u) for eid, u, m in events]
+    mid = len(rows) // 2
+    write_event_chunk(tmp_events_dir, "000.json", rows[:mid])
+    write_event_chunk(tmp_events_dir, "001.json", rows[mid:])
+    # probe far in the future: watermark passes every session => all emitted
+    write_event_chunk(tmp_events_dir, "002.json", [ev(999, iso(10**5), user_id=99)])
+
+    name = f"sessprop_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        W.session_counts(file_events(spark, tmp_events_dir), gap=f"{gap_min} minutes"),
+        name,
+        tmp_path,
+        mode="append",
+    )
+    got = {
+        (r.user_id, r.session_start.strftime("%Y-%m-%dT%H:%M:%SZ"), r.n_events)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r.user_id != 99
+    }
+
+    expect = set()
+    by_user: dict[int, list] = {}
+    for _, u, m in events:
+        by_user.setdefault(u, []).append(m)
+    for u, ms in by_user.items():
+        ms.sort()
+        start, n, prev = ms[0], 1, ms[0]
+        for m in ms[1:]:
+            if m - prev > gap_min:
+                expect.add((u, iso(start), n))
+                start, n = m, 1
+            else:
+                n += 1
+            prev = m
+        expect.add((u, iso(start), n))
+    assert got == expect

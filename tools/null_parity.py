@@ -58,12 +58,11 @@ EXPECTED_DIVERGENCE: dict[str, str] = {
         "tolerance contract targets sketch estimation error at scale, "
         "not small-n interpolation-definition gaps"
     ),
-    "q_agg_unpivot": (
-        "the pivot value list is pinned to ['F', 'O'] (production melts "
-        "enumerate their columns); planted statuses contain neither, so "
-        "the unpivot correctly yields nothing while the group-by oracle "
-        "reports the planted domain (applies in both modes)"
-    ),
+    # (q_agg_unpivot was whitelisted in all five modes until r5: the melt
+    # reports only its pinned ['F','O'] columns while the oracle grouped
+    # the full planted domain. Fixed at the source — the oracle now pins
+    # the same domain with IN ('F','O'), which is what a pinned-column
+    # melt MEANS — so the pair holds parity under every battery.)
 }
 
 # hostile-string mode found 4 real pair bugs on first run: the embedded-CSV
@@ -88,22 +87,16 @@ NASTY_STRINGS = [
 # under ANSI on zero-variance groups (now computed via try_divide of
 # co-moments), and bare max_by/min_by elected DIFFERENT orderkeys per
 # engine under price ties (now a lexicographic composite-struct extreme).
-TIE_EXPECTED_DIVERGENCE: dict[str, str] = {
-    "q_agg_unpivot": EXPECTED_DIVERGENCE["q_agg_unpivot"],
-}
+TIE_EXPECTED_DIVERGENCE: dict[str, str] = {}
 
-NASTY_EXPECTED_DIVERGENCE: dict[str, str] = {
-    "q_agg_unpivot": EXPECTED_DIVERGENCE["q_agg_unpivot"],
-}
+NASTY_EXPECTED_DIVERGENCE: dict[str, str] = {}
 
 # negative-numerics mode found 2 real pair gaps on first run: DuckDB
 # sqrt/ln THROW on negative input where Spark yields NaN/NULL (both
 # sides now define out-of-domain as NULL via CASE guards), and the
 # sum-of-positives fold returned 0.0 (Spark, 0-init fold) vs NULL
 # (DuckDB, list_sum of an empty list) when nothing is positive.
-NEG_EXPECTED_DIVERGENCE: dict[str, str] = {
-    "q_agg_unpivot": EXPECTED_DIVERGENCE["q_agg_unpivot"],
-}
+NEG_EXPECTED_DIVERGENCE: dict[str, str] = {}
 
 # Duplicate-key mode: the whitelist is a MAP of which queries rely on a
 # key-identity contract (primary-key uniqueness — guaranteed by the
@@ -123,7 +116,6 @@ _VEC_IDENTITY = (
     "and are contract-violating input"
 )
 DUP_EXPECTED_DIVERGENCE: dict[str, str] = {
-    "q_agg_unpivot": EXPECTED_DIVERGENCE["q_agg_unpivot"],
     "q_tpch_q13": (
         "the aggregate-before-join rewrite is the standard aggregate-"
         "pushdown-through-PK-join rule: legal because c_custkey is a "
