@@ -932,14 +932,20 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Driver check is rows-only (sketch values legitimately differ from "
         "exact, so a hash-match would be wrong by construction), but the "
         "local harness holds it to an explicit contract: every value within "
-        "1% of DuckDB's exact quantile_cont (check_oracle below), and the "
-        "pytest suite asserts the same bound vs the exact operator."
+        "1% of DuckDB's exact quantile_disc (check_oracle below), and the "
+        "pytest suite asserts the same bound vs the exact operator. "
+        "quantile_disc, not quantile_cont: both engines elect an actual "
+        "element of the input at the same rank definition (verified exact-"
+        "equal across n=1..16, NULLs, ties, negatives, +-1e18), so on "
+        "sketch-exact small inputs the pair matches bit-for-bit and the "
+        "parity batteries need no whitelist entry; at scale the GK rank "
+        "error (<= n/10000) is what the 1% tolerance prices."
     ),
     check_oracle="""
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
-       round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+       round(quantile_disc(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_disc(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_disc(l_quantity, 0.25), 4) AS q1_qty
 FROM lineitem GROUP BY l_returnflag
 """,
     check_rel_tol=0.01,

@@ -52,12 +52,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # query -> why Spark and the oracle legitimately disagree on NULL-riddled
 # tiny data (each reason states why the divergence is correct, not a bug)
 EXPECTED_DIVERGENCE: dict[str, str] = {
-    "q_agg_approx_percentile": (
-        "approx_percentile returns an exact element of the 8-row input "
-        "while quantile_cont interpolates between elements; the 1% "
-        "tolerance contract targets sketch estimation error at scale, "
-        "not small-n interpolation-definition gaps"
-    ),
+    # (q_agg_approx_percentile was whitelisted until r5: the old
+    # check_oracle used quantile_cont, which interpolates between
+    # elements where percentile_approx elects one. Fixed at the source —
+    # the check oracle now uses quantile_disc, whose rank definition
+    # matches Spark's GK element choice exactly on sketch-exact small
+    # inputs (verified across n=1..16, NULLs, ties, negatives) — so the
+    # pair holds parity under every battery.)
     # (q_agg_unpivot was whitelisted in all five modes until r5: the melt
     # reports only its pinned ['F','O'] columns while the oracle grouped
     # the full planted domain. Fixed at the source — the oracle now pins
