@@ -37,6 +37,26 @@ def sql_q(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> Data
     return spark.sql(sql)
 
 
+# the micro-unit device's own exactness bound (see dsum): a BIGINT sum
+# of floor(x*1e6) values stays exact (and round-trips the final double
+# division) while each |x| <= ~9e9 and the group total stays under 2^53
+# micro-units. One row outside this domain (huge-but-finite, ±Inf, NaN)
+# sends the whole group down the plain IEEE path.
+_MICRO_SAFE = 9.0e9
+MICRO_SAFE_SQL = "BETWEEN -9000000000.0 AND 9000000000.0"
+
+
+def micro_exact(c: Column) -> Column:
+    """True when x is exactly representable in the micro-unit device's
+    domain, false for huge-magnitude/NaN/±Inf, NULL for NULL.
+
+    ``between`` gives all three in one comparison: NaN fails ``>=`` so
+    between is false, huge values and ±Inf fall outside the bound, and
+    NULL propagates. The identical predicate spells the same in DuckDB
+    (MICRO_SAFE_SQL), so oracle guards can mirror it textually."""
+    return c.between(-_MICRO_SAFE, _MICRO_SAFE)
+
+
 def dsum(c: Column, alias: str) -> Column:
     """Order-independent, cross-engine-exact sum of a double expression.
 
@@ -51,10 +71,40 @@ def dsum(c: Column, alias: str) -> Column:
     integer sum stays under 2^53 (~9e9 in value terms — true at every test
     sf; at genuine 100 TB scale switch the scale factor or report DECIMAL).
 
-    Oracle twin:
-    ``CAST(sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS alias``.
+    The micro-unit path is defined only on FINITE doubles: Spark's
+    ``floor(double)`` is a silent saturating java cast, so ``floor(Inf)``
+    becomes Long.MAX and ``floor(NaN)`` becomes **0** — NaN rows would
+    silently vanish from the sum (found by the ``--extreme`` parity
+    battery). Guard: rows are micro-quantized only when finite, and if the
+    group contains ANY non-finite value the plain IEEE double sum is
+    returned instead (Inf/NaN propagation is order-independent, so the
+    determinism device isn't needed there).
+
+    Oracle twin: ``dsum_sql()`` below.
     """
-    return (F.sum(F.floor(c * 1000000.0 + 0.5)) / 1000000.0).alias(alias)
+    return dsum_expr(c).alias(alias)
+
+
+def dsum_expr(c: Column) -> Column:
+    """Unaliased ``dsum`` — for call sites that derive further columns
+    from the exact sum (averages, ratios) before naming them."""
+    n_unsafe = F.count(F.when(~micro_exact(c), F.lit(1)))
+    micro = F.sum(F.when(micro_exact(c), F.floor(c * 1000000.0 + 0.5))) / 1000000.0
+    return F.when(n_unsafe > 0, F.sum(c)).otherwise(micro)
+
+
+def dsum_sql(x: str) -> str:
+    """DuckDB twin of ``dsum``: micro-unit BIGINT sum on finite input,
+    plain IEEE sum when the group contains any non-finite value (the
+    unguarded CAST throws in DuckDB where Spark's floor silently
+    saturates — same totality gap, opposite failure mode)."""
+    return (
+        f"CASE WHEN count(CASE WHEN NOT ({x} {MICRO_SAFE_SQL}) THEN 1 END) > 0 "
+        f"THEN sum({x}) "
+        f"ELSE CAST(sum(CASE WHEN ({x} {MICRO_SAFE_SQL}) THEN "
+        f"CAST(floor({x} * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) "
+        f"/ 1000000.0 END"
+    )
 
 
 def r4(c: Column, alias: str) -> Column:

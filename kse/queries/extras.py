@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kse.queries._util import dsum, r4, t
+from kse.queries._util import dsum, micro_exact, r4, t
 from kse.registry import register
 
 
@@ -18,8 +18,12 @@ from kse.registry import register
 SELECT l_returnflag,
        count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
        count(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
-       CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) FILTER (WHERE l_linestatus = 'F') AS BIGINT) / 1000000.0 AS qty_f,
-       CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) FILTER (WHERE l_linestatus = 'O') AS BIGINT) / 1000000.0 AS qty_o
+       CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) FILTER (WHERE l_linestatus = 'F') > 0
+            THEN sum(l_quantity) FILTER (WHERE l_linestatus = 'F')
+            ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) FILTER (WHERE l_linestatus = 'F') AS BIGINT) / 1000000.0 END AS qty_f,
+       CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) FILTER (WHERE l_linestatus = 'O') > 0
+            THEN sum(l_quantity) FILTER (WHERE l_linestatus = 'O')
+            ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) FILTER (WHERE l_linestatus = 'O') AS BIGINT) / 1000000.0 END AS qty_o
 FROM lineitem GROUP BY l_returnflag
 """,
     doc=(
@@ -30,11 +34,17 @@ FROM lineitem GROUP BY l_returnflag
 )
 def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    scaled = F.floor(F.col("l_quantity") * 1000000.0 + 0.5)
+    q = F.col("l_quantity")
+    # finite-guarded micro sum inside the pivot cell (see _util.dsum):
+    # floor silently saturates Inf and zeroes NaN, so non-finite cells
+    # fall back to the plain IEEE sum on both engines
+    guarded = F.when(
+        F.count(F.when(~micro_exact(q), F.lit(1))) > 0, F.sum(q)
+    ).otherwise(F.sum(F.when(micro_exact(q), F.floor(q * 1000000.0 + 0.5))) / 1000000.0)
     out = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.count(F.lit(1)).alias("n"), (F.sum(scaled) / 1000000.0).alias("qty"))
+        .agg(F.count(F.lit(1)).alias("n"), guarded.alias("qty"))
     )
     return out.select(
         "l_returnflag",
@@ -610,7 +620,7 @@ def q_ts_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_skew_salted",
     oracle="""
 SELECT event_type, count(*) AS n,
-       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value,
+       CASE WHEN count(CASE WHEN NOT (value BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(value) ELSE CAST(sum(CASE WHEN (value BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_value,
        round(max(value), 4) AS max_value
 FROM events GROUP BY event_type
 """,
@@ -636,14 +646,22 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
     # exact scaled-integer partial sums: order-independent across the
     # salt regrouping AND bit-equal to the oracle (see _util.dsum)
+    v = F.col("value")
     partial = salted.groupBy("event_type", "salt").agg(
         F.count("*").alias("pn"),
-        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5)).alias("psum"),
+        # finite-guarded micro partials (see _util.dsum): floor silently
+        # saturates Inf / zeroes NaN, so non-finite rows are carried
+        # through the plain-sum channel instead and counted in pnf
+        F.sum(F.when(micro_exact(v), F.floor(v * 1000000.0 + 0.5))).alias("psum"),
+        F.sum(v).alias("pplain"),
+        F.count(F.when(~micro_exact(v), F.lit(1))).alias("pnf"),
         F.max("value").alias("pmax"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        (F.sum("psum") / 1000000.0).alias("sum_value"),
+        F.when(F.sum("pnf") > 0, F.sum("pplain"))
+        .otherwise(F.sum("psum") / 1000000.0)
+        .alias("sum_value"),
         r4(F.max("pmax"), "max_value"),
     )
 
@@ -883,7 +901,7 @@ WITH monthly AS (
   SELECT o_orderpriority,
          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mi,
          count(*) AS n,
-         CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS rev
+         CASE WHEN count(CASE WHEN NOT (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(o_totalprice) ELSE CAST(sum(CASE WHEN (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS rev
   FROM orders GROUP BY o_orderpriority, year(o_orderdate) * 12 + month(o_orderdate)
 )
 SELECT o_orderpriority, mi, n,
@@ -907,7 +925,7 @@ def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int").alias("mi"),
     ).agg(
         F.count("*").alias("n"),
-        (F.sum(F.floor(F.col("o_totalprice") * 1000000.0 + 0.5)) / 1000000.0).alias("rev"),
+        dsum(F.col("o_totalprice"), "rev"),
     )
     w = Window.partitionBy("o_orderpriority").orderBy("mi")
     prev = F.lag("rev").over(w)
@@ -930,7 +948,9 @@ SELECT e.event_type,
        count(*) AS n,
        CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
        CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
-       CAST(sum(CAST(floor(greatest(least(value, hi), lo) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / CAST(1000000 AS DOUBLE) AS winsorized_sum
+       CASE WHEN count(CASE WHEN NOT (greatest(least(value, hi), lo) BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
+            THEN sum(greatest(least(value, hi), lo))
+            ELSE CAST(sum(CASE WHEN greatest(least(value, hi), lo) BETWEEN -9000000000.0 AND 9000000000.0 THEN CAST(floor(greatest(least(value, hi), lo) * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / CAST(1000000 AS DOUBLE) END AS winsorized_sum
 FROM events e JOIN bounds USING (event_type)
 GROUP BY e.event_type
 """
@@ -949,7 +969,7 @@ SELECT e.event_type,
        count(*) AS n,
        CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
        CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
-       CAST(sum(CAST(floor(greatest(least(value, hi), lo) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS winsorized_sum
+       CASE WHEN count(CASE WHEN NOT (greatest(least(value, hi), lo) BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(greatest(least(value, hi), lo)) ELSE CAST(sum(CASE WHEN (greatest(least(value, hi), lo) BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(greatest(least(value, hi), lo) * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS winsorized_sum
 FROM events e JOIN bounds USING (event_type)
 GROUP BY e.event_type
 """,
@@ -1062,7 +1082,7 @@ def q_join_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_bloom_prune",
     oracle="""
 SELECT s.s_suppkey, count(*) AS n_items,
-       CAST(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
+       CASE WHEN count(CASE WHEN NOT (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_extendedprice) ELSE CAST(sum(CASE WHEN (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_price
 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
 WHERE s.s_acctbal > 9000
 GROUP BY s.s_suppkey
@@ -1137,7 +1157,7 @@ def _events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scan_partition_prune",
     oracle="""
 SELECT user_id, count(*) AS n_events,
-       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value
+       CASE WHEN count(CASE WHEN NOT (value BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(value) ELSE CAST(sum(CASE WHEN (value BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_value
 FROM events
 WHERE event_type = 'purchase'
 GROUP BY user_id
@@ -1208,7 +1228,7 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_skew_salted",
     oracle="""
 SELECT o_orderpriority, count(*) AS n_items,
-       CAST(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
+       CASE WHEN count(CASE WHEN NOT (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_extendedprice) ELSE CAST(sum(CASE WHEN (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
@@ -1618,10 +1638,16 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
     "q_agg_groupby_wide",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
-         / 1000000.0 AS sum_base_price,
-       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
-                     AS HUGEINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+       CASE WHEN count(CASE WHEN NOT (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
+            THEN sum(l_extendedprice)
+            ELSE CAST(sum(CASE WHEN (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN
+                   CAST(floor(l_extendedprice * 1000000 + 0.5) AS HUGEINT) END) AS DOUBLE)
+                 / 1000000.0 END AS sum_base_price,
+       CASE WHEN count(CASE WHEN NOT (l_extendedprice * (1 - l_discount) BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
+            THEN sum(l_extendedprice * (1 - l_discount))
+            ELSE CAST(sum(CASE WHEN (l_extendedprice * (1 - l_discount) BETWEEN -9000000000.0 AND 9000000000.0) THEN
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
+                        AS HUGEINT) END) AS DOUBLE) / 1000000.0 END AS sum_disc_price,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -1649,8 +1675,16 @@ def q_agg_groupby_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
 
     def wide_sum(c, alias):
-        micro = F.floor(c * 1000000.0 + 0.5).cast("decimal(38,0)")
-        return (F.sum(micro).cast("double") / 1000000.0).alias(alias)
+        # finite-guarded like _util.dsum: floor silently saturates Inf /
+        # zeroes NaN before the decimal cast, so non-finite groups fall
+        # back to the plain IEEE sum on both engines
+        micro = F.when(micro_exact(c), F.floor(c * 1000000.0 + 0.5)).cast("decimal(38,0)")
+        n_unsafe = F.count(F.when(~micro_exact(c), F.lit(1)))
+        return (
+            F.when(n_unsafe > 0, F.sum(c))
+            .otherwise(F.sum(micro).cast("double") / 1000000.0)
+            .alias(alias)
+        )
 
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         wide_sum(F.col("l_extendedprice"), "sum_base_price"),

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kse.queries._util import dsum, r4, r6, sql_q, t
+from kse.queries._util import dsum, micro_exact, r4, r6, sql_q, t
 from kse.registry import register
 
 # ---------------------------------------------------------------------------
@@ -374,7 +374,7 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_inner_hash",
     oracle="""
 SELECT o_orderpriority, count(*) AS n_lines,
-       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue
+       CASE WHEN count(CASE WHEN NOT (l_extendedprice * (1 - l_discount) BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_extendedprice * (1 - l_discount)) ELSE CAST(sum(CASE WHEN (l_extendedprice * (1 - l_discount) BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
 GROUP BY o_orderpriority
@@ -402,7 +402,7 @@ def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_broadcast",
     oracle="""
-SELECT p_brand, count(*) AS n_lines, CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_qty
+SELECT p_brand, count(*) AS n_lines, CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_quantity) ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size <= 10
 GROUP BY p_brand
@@ -426,7 +426,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_sortmerge",
     oracle="""
-SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
+SELECT c_mktsegment, count(*) AS n_orders, CASE WHEN count(CASE WHEN NOT (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(o_totalprice) ELSE CAST(sum(CASE WHEN (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
@@ -449,7 +449,7 @@ def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_multiway",
     oracle="""
-SELECT r_name, n_name, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
+SELECT r_name, n_name, count(*) AS n_orders, CASE WHEN count(CASE WHEN NOT (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(o_totalprice) ELSE CAST(sum(CASE WHEN (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_price
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -605,8 +605,18 @@ GROUP BY s_suppkey
         "output, oracle-verified equal): a band-interval predicate "
         "`p BETWEEN lo AND lo+W` becomes an EQUI-join on a bucket key of "
         "width W — each part maps to one bucket, each supplier interval "
-        "spans at most two, emitted by explode — then the exact BETWEEN "
-        "filters the candidates. Compares per bucket are bounded by the "
+        "emits its (at most three) candidate buckets by explode — then "
+        "the exact BETWEEN filters the candidates. Three, not two: in "
+        "exact arithmetic [lo, lo+W] spans buckets {b, b+1} with "
+        "b = floor(lo/W), but floating addition can round lo+W UP onto a "
+        "bucket boundary (lo = 500-3e-14 gives lo+500 == 1000.0 exactly), "
+        "making floor((lo+W)/W) = b+2 and silently skipping bucket b+1 — "
+        "where most of the interval lives (found by the --extreme parity "
+        "battery, reachable with plausible doubles). Emitting "
+        "{b, b+1, floor((lo+W)/W)} covers both the exact span and the "
+        "FP-rounded upper endpoint; try_add keeps the b+1 slot NULL (joins "
+        "nothing) when b saturates at Long.MAX for ±Inf bounds. "
+        "Compares per bucket are bounded by the "
         "band population instead of O(n*m), the join shuffles/hashes like "
         "any equi-join, and NO side needs to be broadcast-small: this is "
         "the large×large theta-join shape for 100 TB. Same pattern as the "
@@ -614,14 +624,16 @@ GROUP BY s_suppkey
     ),
 )
 def q_join_theta_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    band_w = 500  # bucket width == interval width: interval spans <= 2 buckets
+    band_w = 500  # bucket width == interval width
+    b = F.floor(F.col("s_acctbal") / band_w)
     s = t(spark, sf_dir, "supplier").select(
         "s_suppkey",
         "s_acctbal",
         F.explode(
             F.array_distinct(
                 F.array(
-                    F.floor(F.col("s_acctbal") / band_w),
+                    b,
+                    F.try_add(b, F.lit(1)),
                     F.floor((F.col("s_acctbal") + band_w) / band_w),
                 )
             )
@@ -716,7 +728,7 @@ def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_global",
     oracle="""
 SELECT count(*) AS n_rows,
-       CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_qty,
+       CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_quantity) ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
        min(l_shipdate) = TIMESTAMP '1995-01-02' AS min_ship_ok
@@ -740,10 +752,10 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_groupby",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_qty,
-       CAST(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_base_price,
-       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_disc_price,
-       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_charge,
+       CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_quantity) ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_qty,
+       CASE WHEN count(CASE WHEN NOT (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_extendedprice) ELSE CAST(sum(CASE WHEN (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_base_price,
+       CASE WHEN count(CASE WHEN NOT (l_extendedprice * (1 - l_discount) BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_extendedprice * (1 - l_discount)) ELSE CAST(sum(CASE WHEN (l_extendedprice * (1 - l_discount) BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_disc_price,
+       CASE WHEN count(CASE WHEN NOT (l_extendedprice * (1 - l_discount) * (1 + l_tax) BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) ELSE CAST(sum(CASE WHEN (l_extendedprice * (1 - l_discount) * (1 + l_tax) BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -779,7 +791,9 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS n_parts,
        count(DISTINCT l_suppkey) AS n_supps,
-       CAST(sum(DISTINCT CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_dist_qty
+       CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
+            THEN sum(DISTINCT l_quantity)
+            ELSE CAST(sum(DISTINCT CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_dist_qty
 FROM lineitem GROUP BY l_returnflag
 """,
     doc="COUNT/SUM DISTINCT (expand+two-phase aggregate under the hood; "
@@ -787,10 +801,20 @@ FROM lineitem GROUP BY l_returnflag
 )
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
-        (F.sum_distinct(F.floor(F.col("l_quantity") * 1000000.0 + 0.5)) / 1000000.0)
+        # finite-guarded micro distinct-sum (see _util.dsum); the plain
+        # branch is order-independent too: a non-finite distinct set sums
+        # to ±Inf/NaN identically on both engines
+        F.when(
+            F.count(F.when(~micro_exact(q), F.lit(1))) > 0, F.sum_distinct(q)
+        )
+        .otherwise(
+            F.sum_distinct(F.when(micro_exact(q), F.floor(q * 1000000.0 + 0.5)))
+            / 1000000.0
+        )
         .alias("sum_dist_qty"),
     )
 
@@ -995,7 +1019,10 @@ _GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
-       count(*) AS n, CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_price
+       count(*) AS n,
+       CASE WHEN count(CASE WHEN NOT (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
+            THEN sum(o_totalprice)
+            ELSE CAST(sum(CASE WHEN o_totalprice BETWEEN -9000000000.0 AND 9000000000.0 THEN CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) END) AS DOUBLE) / 1000000.0 END AS sum_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
@@ -1017,7 +1044,7 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
        CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-       count(*) AS n, CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_qty
+       count(*) AS n, CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_quantity) ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
     doc="ROLLUP subtotal cascade via the DataFrame API.",
@@ -1036,7 +1063,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_cube",
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n, CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
+       count(*) AS n, CASE WHEN count(CASE WHEN NOT (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(o_totalprice) ELSE CAST(sum(CASE WHEN (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_price
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     doc="CUBE over two keys (15 + subtotal rows).",
@@ -1051,7 +1078,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_having",
     oracle="""
-SELECT o_custkey, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS spend
+SELECT o_custkey, count(*) AS n_orders, CASE WHEN count(CASE WHEN NOT (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(o_totalprice) ELSE CAST(sum(CASE WHEN (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS spend
 FROM orders GROUP BY o_custkey
 HAVING sum(o_totalprice) > 200000
 """,

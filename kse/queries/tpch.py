@@ -26,14 +26,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kse.queries._util import dsum, t
+from kse.queries._util import dsum, dsum_expr, micro_exact, t
 from kse.registry import register
 
-# oracle twin of _util.dsum for revenue = extendedprice * (1 - discount)
-_REV = (
-    "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)"
-    " AS BIGINT)) AS BIGINT) / 1000000.0"
-)
+# oracle twin of _util.dsum: finite-guarded micro-unit sum (floor
+# silently saturates Inf / zeroes NaN on the Spark side and the raw CAST
+# throws on the DuckDB side, so non-finite groups use the plain IEEE sum
+# on both engines — see _util.dsum / dsum_sql)
+_MICRO = "CASE WHEN count(CASE WHEN NOT ({x} BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum({x}) ELSE CAST(sum(CASE WHEN ({x} BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor({x} * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END"
+
+_REV = _MICRO.format(x="l_extendedprice * (1 - l_discount)")
 
 
 def _rev(alias: str) -> F.Column:
@@ -173,9 +175,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_tpch_q6",
-    oracle="""
-SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 1000000 + 0.5)
-                     AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue
+    oracle=f"""
+SELECT {_MICRO.format(x='l_extendedprice * l_discount')} AS revenue
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
@@ -500,14 +501,13 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_tpch_q22",
-    oracle="""
+    oracle=f"""
 WITH avg_bal AS (
   SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c_nationkey,
        CAST(count(*) AS BIGINT) AS numcust,
-       CAST(sum(CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
-         / 1000000.0 AS totacctbal
+       {_MICRO.format(x='c_acctbal')} AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT ab FROM avg_bal)
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -551,18 +551,19 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MICRO = "CAST(sum(CAST(floor({x} * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0"
-
-
 @register(
     "q_tpch_q1",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
+            THEN sum(l_quantity)
+            ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT) END AS sum_qty,
        {_MICRO.format(x='l_extendedprice')} AS sum_base_price,
        {_MICRO.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
        {_MICRO.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_qty,
+       (CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
+             THEN sum(l_quantity)
+             ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT) END) / CAST(count(*) AS BIGINT) AS avg_qty,
        ({_MICRO.format(x='l_extendedprice')}) / CAST(count(*) AS BIGINT) AS avg_price,
        ({_MICRO.format(x='l_discount')}) / CAST(count(*) AS BIGINT) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
@@ -583,19 +584,25 @@ GROUP BY l_returnflag, l_linestatus
     ),
 )
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import dsum_expr, micro_exact
+
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
     cnt = F.count(F.lit(1))
+    lq = F.col("l_quantity")
     # floor, not cast: CAST(double AS BIGINT) truncates in Spark but
     # rounds in DuckDB (q_fn_cast's documented trap) — floor agrees on
-    # both engines for the non-negative quantities
-    qty = F.sum(F.floor(F.col("l_quantity")))
-    price_u = F.sum(F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5))
-    disc_u = F.sum(F.floor(F.col("l_discount") * 1000000.0 + 0.5))
+    # both engines for the non-negative quantities. Finite-guarded like
+    # _util.dsum (floor silently saturates Inf / zeroes NaN).
+    qty = F.when(
+        F.count(F.when(~micro_exact(lq), F.lit(1))) > 0, F.sum(lq)
+    ).otherwise(F.sum(F.when(micro_exact(lq), F.floor(lq))))
+    price_g = dsum_expr(F.col("l_extendedprice"))
+    disc_g = dsum_expr(F.col("l_discount"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             qty.alias("sum_qty"),
-            (price_u / 1000000.0).alias("sum_base_price"),
+            price_g.alias("sum_base_price"),
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
             dsum(
                 F.col("l_extendedprice")
@@ -604,8 +611,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_charge",
             ),
             (qty / cnt).alias("avg_qty"),
-            (price_u / 1000000.0 / cnt).alias("avg_price"),
-            (disc_u / 1000000.0 / cnt).alias("avg_disc"),
+            (price_g / cnt).alias("avg_price"),
+            (disc_g / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
@@ -831,9 +838,8 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_tpch_q17",
-    oracle="""
-SELECT CAST(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
-       / 1000000.0 / 7.0 AS avg_yearly
+    oracle=f"""
+SELECT ({_MICRO.format(x='l_extendedprice')}) / 7.0 AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
   AND l_quantity < (
@@ -868,11 +874,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
         .agg(
-            (
-                F.sum(F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5))
-                / 1000000.0
-                / 7.0
-            ).alias("avg_yearly")
+            (dsum_expr(F.col("l_extendedprice")) / 7.0).alias("avg_yearly")
         )
     )
 
@@ -961,9 +963,12 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PS_CTE = """
 ps AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         min(CAST(floor(l_extendedprice * 1000000 / nullif(l_quantity, 0) + 0.5)
-                  AS BIGINT)) AS ps_supplycost,
-         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS ps_availqty
+         min(CASE WHEN (l_extendedprice * 1000000 / nullif(l_quantity, 0) BETWEEN -9000000000000000.0 AND 9000000000000000.0)
+                  THEN CAST(floor(l_extendedprice * 1000000 / nullif(l_quantity, 0) + 0.5)
+                            AS BIGINT) END) AS ps_supplycost,
+         CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0)
+                       THEN CAST(floor(l_quantity + 0.5) AS BIGINT) END)
+              AS BIGINT) AS ps_availqty
   FROM lineitem GROUP BY l_partkey, l_suppkey
 )"""
 
@@ -977,16 +982,32 @@ def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(
         # nullif: a zero-quantity row (possible under the tiny-table
-        # sweep's adversarial data) must not send Inf through floor
+        # sweep's adversarial data) must not send Inf through floor.
+        # Representability guards (matching _PS_CTE): a unit price whose
+        # micro-dollar value exceeds 2^53-scale (or is Inf/NaN) carries
+        # no cost information in integer micro space — excluded as NULL
+        # on BOTH engines (Spark's floor would otherwise silently
+        # saturate Inf and zero NaN). The unit-price expression is
+        # already IN micro units, so its bound is ±9e15, not dsum's ±9e9
+        # value-space bound.
         F.min(
-            F.floor(
-                F.col("l_extendedprice")
-                * 1000000.0
-                / F.nullif(F.col("l_quantity"), F.lit(0))
-                + 0.5
+            F.when(
+                (
+                    F.col("l_extendedprice")
+                    * 1000000.0
+                    / F.nullif(F.col("l_quantity"), F.lit(0))
+                ).between(-9.0e15, 9.0e15),
+                F.floor(
+                    F.col("l_extendedprice")
+                    * 1000000.0
+                    / F.nullif(F.col("l_quantity"), F.lit(0))
+                    + 0.5
+                ),
             )
         ).alias("ps_supplycost"),
-        F.sum(F.floor(F.col("l_quantity") + 0.5)).alias("ps_availqty"),
+        F.sum(
+            F.when(micro_exact(F.col("l_quantity")), F.floor(F.col("l_quantity") + 0.5))
+        ).alias("ps_availqty"),
     )
 
 
@@ -1155,13 +1176,13 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sel AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small %'),
 avail AS (
   SELECT l_partkey, l_suppkey,
-         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS availqty
+         CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity + 0.5) AS BIGINT) END) AS BIGINT) AS availqty
   FROM lineitem WHERE l_shipdate < DATE '1997-01-01'
   GROUP BY l_partkey, l_suppkey
 ),
 y97 AS (
   SELECT l_partkey, l_suppkey,
-         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty97
+         CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity + 0.5) AS BIGINT) END) AS BIGINT) AS qty97
   FROM lineitem
   WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
   GROUP BY l_partkey, l_suppkey
@@ -1209,7 +1230,11 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     s = t(spark, sf_dir, "supplier")
-    qty = F.floor(F.col("l_quantity") + 0.5)
+    # row guard (matching the oracle): quantities outside the integer-
+    # representable micro domain (huge/Inf/NaN) carry no stock info —
+    # excluded as NULL on both engines (Spark's floor would silently
+    # saturate Inf and zero NaN)
+    qty = F.when(micro_exact(F.col("l_quantity")), F.floor(F.col("l_quantity") + 0.5))
     in97 = (F.col("l_shipdate") >= "1997-01-01") & (
         F.col("l_shipdate") < "1998-01-01"
     )

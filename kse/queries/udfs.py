@@ -229,7 +229,7 @@ def q_udf_simhash_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_pandas_grouped_agg",
     oracle="""
 SELECT c_nationkey,
-       round(median(c_acctbal), 6) AS median_bal,
+       round(median(c_acctbal) FILTER (WHERE NOT isnan(c_acctbal)), 6) AS median_bal,
        CAST(count(*) AS BIGINT) AS n
 FROM customer
 GROUP BY c_nationkey
@@ -257,7 +257,14 @@ def q_udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf(DoubleType())
     def exact_median(v: pd.Series) -> float:
         a = v.dropna().to_numpy(dtype=np.float64)
-        return float(np.round(np.median(a), 6)) if a.size else None
+        if not a.size:
+            return None
+        m = float(np.median(a))
+        # np.round multiplies by 10^6 internally, so it overflows to Inf
+        # for |m| > ~1.8e302 where SQL round() is overflow-safe (found by
+        # the --extreme battery); at that magnitude 6-dp rounding is an
+        # identity, so skip it
+        return float(np.round(m, 6)) if abs(m) < 1e300 else m
 
     # a GROUPED_AGG UDF cannot share agg() with JVM aggregates
     # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas UDAF too
@@ -276,7 +283,8 @@ def q_udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_pandas_window_agg",
     oracle="""
 SELECT c_custkey, c_nationkey,
-       round(median(c_acctbal) OVER (PARTITION BY c_nationkey), 6)
+       round(median(c_acctbal) FILTER (WHERE NOT isnan(c_acctbal))
+               OVER (PARTITION BY c_nationkey), 6)
          AS nation_median_bal
 FROM customer
 """,
@@ -301,7 +309,14 @@ def q_udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf(DoubleType())
     def exact_median(v: pd.Series) -> float:
         a = v.dropna().to_numpy(dtype=np.float64)
-        return float(np.round(np.median(a), 6)) if a.size else None
+        if not a.size:
+            return None
+        m = float(np.median(a))
+        # np.round multiplies by 10^6 internally, so it overflows to Inf
+        # for |m| > ~1.8e302 where SQL round() is overflow-safe (found by
+        # the --extreme battery); at that magnitude 6-dp rounding is an
+        # identity, so skip it
+        return float(np.round(m, 6)) if abs(m) < 1e300 else m
 
     c = t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey")

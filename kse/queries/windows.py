@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kse.queries._util import t, ts_us
+from kse.queries._util import micro_exact, t, ts_us
 from kse.registry import register
 
 
@@ -130,8 +130,11 @@ def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_sliding_frame",
     oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       (CAST(sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT))
-             OVER w AS BIGINT) / 1000000.0)
+       (CASE WHEN count(CASE WHEN NOT (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) OVER w > 0
+             THEN sum(l_extendedprice) OVER w
+             ELSE CAST(sum(CASE WHEN (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0)
+                                THEN CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT) END)
+                       OVER w AS BIGINT) / 1000000.0 END)
          / (count(*) OVER w) AS mov_avg
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey
@@ -163,15 +166,20 @@ def q_win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(-2, Window.currentRow)
     )
-    scaled = F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5)
+    e = F.col("l_extendedprice")
+    # finite-guarded micro frame-sum (see _util.dsum): a frame holding
+    # any Inf/NaN uses the plain IEEE sum on both engines (the result is
+    # ±Inf/NaN regardless of the engine's frame accumulation strategy)
+    nf = F.count(F.when(~micro_exact(e), F.lit(1))).over(w)
+    msum = F.sum(F.when(micro_exact(e), F.floor(e * 1000000.0 + 0.5))).over(w)
+    frame_sum = F.when(nf > 0, F.sum(e).over(w)).otherwise(
+        msum / F.lit(1000000.0)
+    )
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        (
-            (F.sum(scaled).over(w) / F.lit(1000000.0))
-            / F.count(F.lit(1)).over(w)
-        ).alias("mov_avg"),
+        (frame_sum / F.count(F.lit(1)).over(w)).alias("mov_avg"),
     )
 
 

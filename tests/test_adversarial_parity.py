@@ -4,7 +4,7 @@ tools/null_parity.py runs the FULL registry over four adversarial data
 shapes (~5 min per mode); this test keeps a fast representative slice of
 it inside the normal pytest loop: the queries whose pairs were actually
 fixed by the batteries, compared against their oracles on freshly
-planted null / all-ties / hostile-string data. A regression in any of
+planted null / all-ties / hostile-string / numeric-extreme data. A regression in any of
 the fixed classes (concat null semantics, pivot zero-fill, CSV/XML/JSON
 round-trips, UTF-8 checksums, zero-variance corr, tie-broken argmax,
 NULL vectors in k-means) fails here within seconds instead of waiting
@@ -49,6 +49,20 @@ REPRESENTATIVES = {
         "q_llm_multimodal",     # UTF-8 byte-sum checksum
         "src_csv",              # file round-trip with the \\N sentinel
     ],
+    # --extreme battery fix classes (r5): the micro-unit sum device must
+    # not silently zero NaN / saturate Inf (Spark floor is a saturating
+    # java cast), np.round must not overflow where SQL round() doesn't,
+    # pandas median skips NaN where DuckDB quantiles count it, and the
+    # banded theta join must cover the FP-rounded band boundary
+    "extreme": [
+        "q_agg_groupby",          # dsum guard: NaN/Inf propagate via plain sum
+        "q_agg_distinct",         # distinct micro-sum guard
+        "q_agg_pivot",            # FILTER-variant guard
+        "q_tpch_q1",              # guarded sum_qty + micro avgs
+        "q_win_sliding_frame",    # windowed frame-sum guard
+        "q_join_theta_banded",    # 3-band FP-boundary coverage
+        "q_udf_pandas_grouped_agg",  # np.round overflow + NaN-skip median
+    ],
 }
 
 
@@ -62,6 +76,7 @@ def planted(spark, tmp_path_factory):
         "null": null_parity.plant(spark, str(base), 6),
         "ties": null_parity.plant(spark, str(base), 6, ties=True),
         "nasty": null_parity.plant(spark, str(base), 6, nasty=True),
+        "extreme": null_parity.plant(spark, str(base), 8, extreme=True),
     }
     yield dirs
     for sf_dir in dirs.values():

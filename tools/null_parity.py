@@ -99,6 +99,34 @@ NASTY_EXPECTED_DIVERGENCE: dict[str, str] = {}
 # (DuckDB, list_sum of an empty list) when nothing is positive.
 NEG_EXPECTED_DIVERGENCE: dict[str, str] = {}
 
+# Numeric-extremes mode: every non-key double cycles through IEEE-754
+# edge values (+-Inf, NaN, -0.0, 1.5e308 so any two-term sum overflows
+# to Inf, the 5e-324 subnormal), embedding vectors cycle through
+# all-Inf / all-NaN / mixed-sign-Inf / -0.0 patterns, and integers sit
+# at +-2^40 / +-2^30 magnitudes (large enough to expose silent
+# precision loss, small enough that an 8-row SUM stays in BIGINT).
+# Contract for this mode only: a pair where BOTH engines reject the
+# input (e.g. ANSI CAST(Inf AS BIGINT) throwing on each side) counts as
+# parity — rejecting absurd input identically IS agreement; divergence
+# means one side threw while the other answered, or both answered
+# differently.
+EXTREME_EXPECTED_DIVERGENCE: dict[str, str] = {}
+
+_EXTREME_DOUBLES = [
+    float("inf"), float("-inf"), float("nan"), -0.0,
+    1.5e308, 5e-324, -2.5e-308, 987654.321,
+]
+_EXTREME_LONGS = [2**40, -(2**40), 0, 1, -1, 2**31, -(2**31), 42]
+_EXTREME_INTS = [2**30, -(2**30), 0, 1, -1, 32767, -32768, 7]
+_EXTREME_VECS = [  # float32 range: max finite ~3.4e38
+    lambda j: float("inf"),
+    lambda j: float("nan"),
+    lambda j: float("inf") if j % 2 == 0 else float("-inf"),
+    lambda j: -0.0,
+    lambda j: 1e38,
+    lambda j: float(j % 7),  # a normal vector so top-k isn't all-NaN
+]
+
 # Duplicate-key mode: the whitelist is a MAP of which queries rely on a
 # key-identity contract (primary-key uniqueness — guaranteed by the
 # schemas and by TPC-H's definitions). Under deliberately-corrupt
@@ -133,16 +161,25 @@ DUP_EXPECTED_DIVERGENCE: dict[str, str] = {
 }
 
 
-def _synth_value(dtype, i: int, ties: bool = False, nasty: bool = False, neg: bool = False):
+def _synth_value(
+    dtype, i: int, ties: bool = False, nasty: bool = False, neg: bool = False,
+    extreme: bool = False,
+):
     # (dupkeys mode reuses the default generators; key duplication is
     # handled by the caller passing i // 2 for key columns)
     import pyspark.sql.types as T
 
+    if isinstance(dtype, T.LongType) and extreme:
+        return _EXTREME_LONGS[i % len(_EXTREME_LONGS)] + i
+    if isinstance(dtype, T.IntegerType) and extreme:
+        return _EXTREME_INTS[i % len(_EXTREME_INTS)]
     if isinstance(dtype, (T.LongType, T.IntegerType)):
         if neg:
             return -i
         return 7 if ties else i
     if isinstance(dtype, T.DoubleType):
+        if extreme:
+            return _EXTREME_DOUBLES[i % len(_EXTREME_DOUBLES)]
         if neg:
             return -(float(i) + 0.5)
         return 3.5 if ties else float(i) + 0.5
@@ -155,6 +192,9 @@ def _synth_value(dtype, i: int, ties: bool = False, nasty: bool = False, neg: bo
             return dt.datetime(1996, 6, 1)
         return dt.datetime(1996, 1, 1) + dt.timedelta(days=i)
     if isinstance(dtype, T.ArrayType):
+        if extreme:
+            gen = _EXTREME_VECS[i % len(_EXTREME_VECS)]
+            return [gen(j) for j in range(64)]
         if neg:
             return [-float((i + j) % 7) for j in range(64)]
         if ties:
@@ -168,7 +208,7 @@ def _synth_value(dtype, i: int, ties: bool = False, nasty: bool = False, neg: bo
 def plant(
     spark, base: str, n_rows: int,
     ties: bool = False, nasty: bool = False, dupkeys: bool = False,
-    neg: bool = False,
+    neg: bool = False, extreme: bool = False,
 ) -> str:
     """NULL mode: keys dense, non-key columns alternating NULL — the same
     shape as the pytest sweep's [n, True] parametrization (kept in
@@ -182,7 +222,10 @@ def plant(
     deliberately corrupt identity columns, probing which pairs rely on
     the primary-key contract. Neg mode: keys dense and positive, every
     value number NEGATIVE — math-function domains and sign-dependent
-    integer semantics."""
+    integer semantics. Extreme mode: keys dense and sane, every value
+    number an IEEE-754 edge case or magnitude extreme (see
+    _EXTREME_* above) — probing NaN/Inf propagation, -0.0 identity,
+    overflow-to-Inf folds, and each engine's reject-vs-answer line."""
     from kse.catalog import SCHEMAS
 
     if ties:
@@ -193,6 +236,8 @@ def plant(
         mode = "dup"
     elif neg:
         mode = "neg"
+    elif extreme:
+        mode = "xtreme"
     else:
         mode = "null"
     sf_dir = os.path.join(base, f"{mode}_sf_{n_rows}")
@@ -209,6 +254,10 @@ def plant(
                 elif neg:
                     row.append(
                         _synth_value(f.dataType, i, neg=not is_key)
+                    )
+                elif extreme:
+                    row.append(
+                        _synth_value(f.dataType, i, extreme=not is_key)
                     )
                 elif not ties and not nasty and not is_key and (i + j) % 2 == 0:
                     row.append(None)
@@ -234,6 +283,7 @@ def main() -> int:
     nasty = "--nasty" in args
     dupkeys = "--dupkeys" in args
     neg = "--neg" in args
+    extreme = "--extreme" in args
     args = [a for a in args if not a.startswith("--")]
     n_rows = int(args[0]) if args else 8
     if ties:
@@ -244,32 +294,60 @@ def main() -> int:
         expected = DUP_EXPECTED_DIVERGENCE
     elif neg:
         expected = NEG_EXPECTED_DIVERGENCE
+    elif extreme:
+        expected = EXTREME_EXPECTED_DIVERGENCE
     else:
         expected = EXPECTED_DIVERGENCE
     spark = get_session("kse-null-parity")
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="kse-null-parity-")
     try:
-        sf_dir = plant(spark, base, n_rows, ties, nasty, dupkeys, neg)
+        sf_dir = plant(spark, base, n_rows, ties, nasty, dupkeys, neg, extreme)
         con = check.duck_connect(sf_dir)
         qs = registry.all_queries()
-        unexpected, stale, n_pass, n_skip = [], [], 0, 0
+        unexpected, stale, n_pass, n_skip, n_both_reject = [], [], 0, 0, 0
         for name, q in qs.items():
             if q.oracle is None and q.check_oracle is None:
                 n_skip += 1
                 continue
             oracle = q.oracle or q.check_oracle
-            try:
-                spark_pdf = q.fn(spark, sf_dir).toPandas()
-                duck_pdf = con.execute(oracle).df()
-                if q.oracle is not None:
+            if extreme:
+                # extreme-mode contract: both engines rejecting the
+                # input identically-in-kind (each raises) is parity
+                s_exc = d_exc = None
+                spark_pdf = duck_pdf = None
+                try:
+                    spark_pdf = q.fn(spark, sf_dir).toPandas()
+                except Exception as exc:  # noqa: BLE001
+                    s_exc = f"{type(exc).__name__}: {str(exc)[:120]}"
+                try:
+                    duck_pdf = con.execute(oracle).df()
+                except Exception as exc:  # noqa: BLE001
+                    d_exc = f"{type(exc).__name__}: {str(exc)[:120]}"
+                if s_exc and d_exc:
+                    print(f"OK(both-reject)  {name}: spark={s_exc.split(':')[0]} duck={d_exc.split(':')[0]}")
+                    n_both_reject += 1
+                    errs = []
+                elif s_exc or d_exc:
+                    errs = [f"one-side throw: spark={s_exc!r} duck={d_exc!r}"]
+                elif q.oracle is not None:
                     errs = check.compare(spark_pdf, duck_pdf)
                 else:
                     errs = check.compare_tol(
                         spark_pdf, duck_pdf, q.check_rel_tol or 0.01
                     )
-            except Exception as exc:  # noqa: BLE001 — report, don't abort
-                errs = [f"{type(exc).__name__}: {str(exc)[:120]}"]
+            else:
+                try:
+                    spark_pdf = q.fn(spark, sf_dir).toPandas()
+                    duck_pdf = con.execute(oracle).df()
+                    if q.oracle is not None:
+                        errs = check.compare(spark_pdf, duck_pdf)
+                    else:
+                        errs = check.compare_tol(
+                            spark_pdf, duck_pdf, q.check_rel_tol or 0.01
+                        )
+                except Exception as exc:  # noqa: BLE001 — report, don't abort
+                    errs = [f"{type(exc).__name__}: {str(exc)[:120]}"]
             diverged = bool(errs)
             if diverged and name not in expected:
                 unexpected.append((name, errs[:3]))
@@ -282,11 +360,16 @@ def main() -> int:
                 n_pass += 1
             else:
                 n_pass += 1
+        mode_name = (
+            "tie" if ties else "nasty" if nasty else "dup" if dupkeys
+            else "neg" if neg else "xtreme" if extreme else "null"
+        )
+        extra = f", {n_both_reject} both-reject" if extreme else ""
         print(
-            f"\n== {'tie' if ties else ('nasty' if nasty else ('dup' if dupkeys else ('neg' if neg else 'null')))}-parity: "
+            f"\n== {mode_name}-parity: "
             f"{n_pass} ok, {len(unexpected)} unexpected "
             f"divergences, {len(stale)} stale whitelist entries, "
-            f"{n_skip} rows-only skipped =="
+            f"{n_skip} rows-only skipped{extra} =="
         )
         return 1 if (unexpected or stale) else 0
     finally:
