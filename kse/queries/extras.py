@@ -328,8 +328,16 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ts_gapfill",
     oracle="""
-WITH bounds AS (
+WITH bounds0 AS (
   SELECT date_trunc('hour', min(ts)) AS a, date_trunc('hour', max(ts)) AS b FROM events
+),
+bounds AS (
+  SELECT a,
+         CASE WHEN a IS NULL OR b IS NULL THEN NULL
+              WHEN date_diff('hour', a, b) <= 200000 THEN b
+              ELSE CAST(error('gapfill spine would exceed 200000 hourly buckets') AS TIMESTAMP)
+         END AS b
+  FROM bounds0
 ),
 spine AS (
   SELECT unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS h FROM bounds
@@ -356,7 +364,11 @@ LEFT JOIN agg a ON a.h = s.h AND a.event_type = ty.event_type
         "JVM). The spine is therefore guarded by an explicit span "
         "assertion (200k hourly buckets ≈ 23 years) that fails the query "
         "loudly with the clamp instruction instead — the guard a "
-        "production rollup puts in front of every data-derived grid."
+        "production rollup puts in front of every data-derived grid. The "
+        "oracle carries the SAME guard (DuckDB error() on the same span "
+        "test): the timestamp-extremes battery showed DuckDB silently "
+        "materializing an 87M-row year-1..9999 spine where Spark raised — "
+        "consistent rejection of a corrupt grid is part of the contract."
     ),
 )
 def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,7 +804,15 @@ WITH RECURSIVE qtrs(qi) AS (
   SELECT CAST(min(year(o_orderdate) * 4 + quarter(o_orderdate)) AS INT) FROM orders
   UNION ALL
   SELECT qi + 1 FROM qtrs
-  WHERE qi < (SELECT CAST(max(year(o_orderdate) * 4 + quarter(o_orderdate)) AS INT) FROM orders)
+  WHERE qi < (SELECT CASE
+      WHEN max(year(o_orderdate) * 4 + quarter(o_orderdate))
+           - min(year(o_orderdate) * 4 + quarter(o_orderdate)) > 96
+      THEN CAST('recursive quarter spine would exceed 96 steps - a corrupt'
+                || ' order date is stretching it; clamp the range (max qi '
+                || CAST(max(year(o_orderdate) * 4 + quarter(o_orderdate)) AS VARCHAR(64))
+                || ')' AS INT)
+      ELSE CAST(max(year(o_orderdate) * 4 + quarter(o_orderdate)) AS INT) END
+    FROM orders)
 )
 SELECT CAST(qi AS INT) AS quarter_index,
        CAST(count(o_orderkey) AS BIGINT) AS n_orders
@@ -817,7 +837,14 @@ GROUP BY qi
         "recurse and fine grains join), not the "
         "row count; each iteration is one tiny row. The set-based "
         "recursion twin of the iterative DataFrame loop in "
-        "q_llm_dedup_cluster."
+        "q_llm_dedup_cluster. Like the gapfill grid, the spine is guarded "
+        "against corrupt dates: a >96-quarter span (Spark's recursion "
+        "limit is 100 levels) poisons the stop bound with a data-derived "
+        "CAST('...' AS INT), which throws loudly — and IDENTICALLY, from "
+        "byte-identical SQL — on both engines (ANSI CAST_INVALID_INPUT / "
+        "DuckDB Conversion Error). The data-derived concat keeps the "
+        "poison non-foldable, so constant folding can't pre-fire it on "
+        "the sane branch."
     ),
 )
 def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:

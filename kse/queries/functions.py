@@ -95,7 +95,11 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(od).alias("q"),
         F.date_trunc("month", od).cast("date").cast("string").alias("month_start"),
         F.datediff(odate, F.lit("1995-01-01").cast("date")).alias("days_since"),
-        F.date_add(odate, 30).cast("string").alias("plus30"),
+        # Spark serializes years >9999 with an ISO-8601 expanded-year sign
+        # ('+10000-01-30'); DuckDB doesn't. Strip the sign so a date that
+        # overflows 4 digits (planted by the timestamp-extremes battery:
+        # 9999-12-31 + 30 days) renders identically on both engines.
+        F.regexp_replace(F.date_add(odate, 30).cast("string"), r"^\+", "").alias("plus30"),
         F.last_day(odate).cast("string").alias("eom"),
         (F.dayofweek(odate) - 1).alias("dow"),
     )

@@ -63,6 +63,12 @@ REPRESENTATIVES = {
         "q_join_theta_banded",    # 3-band FP-boundary coverage
         "q_udf_pandas_grouped_agg",  # np.round overflow + NaN-skip median
     ],
+    # --times battery fix class (r5): dates past year 9999 serialize with
+    # an ISO-8601 expanded-year sign in Spark ('+10000-01-30') but not in
+    # DuckDB — the engine side strips the sign explicitly
+    "times": [
+        "q_fn_date",
+    ],
 }
 
 
@@ -77,6 +83,7 @@ def planted(spark, tmp_path_factory):
         "ties": null_parity.plant(spark, str(base), 6, ties=True),
         "nasty": null_parity.plant(spark, str(base), 6, nasty=True),
         "extreme": null_parity.plant(spark, str(base), 8, extreme=True),
+        "times": null_parity.plant(spark, str(base), 8, times=True),
     }
     yield dirs
     for sf_dir in dirs.values():
@@ -102,3 +109,24 @@ def test_pair_holds_adversarial_parity(spark, planted, mode, name):
     else:
         errs = check.compare_tol(spark_pdf, duck_pdf, q.check_rel_tol or 0.01)
     assert not errs, f"{name} under {mode} data: {errs}"
+
+
+@pytest.mark.parametrize("name", ["q_ts_gapfill", "q_sql_recursive"])
+def test_corrupt_spine_both_reject(spark, planted, name):
+    """Data-derived grids under millennia-wide corrupt timestamps must be
+    rejected by BOTH engines (the times-mode both-reject contract): the
+    gapfill spine guard (Spark raise_error / DuckDB error() on the same
+    200k-bucket test) and the recursive quarter spine's byte-identical
+    poison-CAST stop bound. One-sided rejection is the bug class: Spark
+    raising while DuckDB silently materializes an 87M-row year-1..9999
+    spine (or the reverse: Spark OOMing the executor, reproduced in r4).
+    """
+    from kse import registry
+
+    q = registry.all_queries()[name]
+    sf_dir = planted["times"]
+    con = check.duck_connect(sf_dir)
+    with pytest.raises(Exception):
+        q.fn(spark, sf_dir).toPandas()
+    with pytest.raises(Exception):
+        con.execute(q.oracle).df()

@@ -112,6 +112,29 @@ NEG_EXPECTED_DIVERGENCE: dict[str, str] = {}
 # differently.
 EXTREME_EXPECTED_DIVERGENCE: dict[str, str] = {}
 
+# Timestamp-extremes mode: every non-key timestamp cycles through
+# calendar and epoch edge cases — epoch zero, one microsecond past it,
+# deep pre-1970 (negative epoch), year 0001 and 9999 (proleptic-
+# Gregorian far range), the 32-bit 2038 rollover second, a leap day,
+# and a sub-second-precision value. Probes: integer division of epoch
+# micros on NEGATIVE values (DIV truncates toward zero, floor-division
+# rounds down — off-by-one buckets pre-1970), sequence()/gapfill spines
+# over absurd spans, year/month arithmetic far from the modern range,
+# and microsecond round-tripping. Uses the extreme-mode both-reject
+# contract: engines consistently rejecting an absurd span is parity.
+TIMES_EXPECTED_DIVERGENCE: dict[str, str] = {}
+
+_EXTREME_TIMES = [
+    dt.datetime(1970, 1, 1, 0, 0, 0),                 # epoch zero
+    dt.datetime(1970, 1, 1, 0, 0, 0, 1),              # +1 microsecond
+    dt.datetime(1969, 12, 31, 23, 59, 59, 999999),    # -1 microsecond
+    dt.datetime(1901, 2, 3, 4, 5, 6),                 # deep negative epoch
+    dt.datetime(1, 1, 1, 0, 0, 0),                    # proleptic floor
+    dt.datetime(9999, 12, 31, 23, 59, 59, 999999),    # far ceiling
+    dt.datetime(2038, 1, 19, 3, 14, 7),               # 32-bit rollover
+    dt.datetime(2000, 2, 29, 12, 30, 15, 250000),     # leap day + sub-second
+]
+
 _EXTREME_DOUBLES = [
     float("inf"), float("-inf"), float("nan"), -0.0,
     1.5e308, 5e-324, -2.5e-308, 987654.321,
@@ -163,7 +186,7 @@ DUP_EXPECTED_DIVERGENCE: dict[str, str] = {
 
 def _synth_value(
     dtype, i: int, ties: bool = False, nasty: bool = False, neg: bool = False,
-    extreme: bool = False,
+    extreme: bool = False, times: bool = False,
 ):
     # (dupkeys mode reuses the default generators; key duplication is
     # handled by the caller passing i // 2 for key columns)
@@ -188,6 +211,8 @@ def _synth_value(
             return NASTY_STRINGS[i % len(NASTY_STRINGS)]
         return "same same same" if ties else f"tok{i} alpha beta"
     if isinstance(dtype, (T.TimestampNTZType, T.TimestampType)):
+        if times:
+            return _EXTREME_TIMES[i % len(_EXTREME_TIMES)]
         if ties:
             return dt.datetime(1996, 6, 1)
         return dt.datetime(1996, 1, 1) + dt.timedelta(days=i)
@@ -208,7 +233,7 @@ def _synth_value(
 def plant(
     spark, base: str, n_rows: int,
     ties: bool = False, nasty: bool = False, dupkeys: bool = False,
-    neg: bool = False, extreme: bool = False,
+    neg: bool = False, extreme: bool = False, times: bool = False,
 ) -> str:
     """NULL mode: keys dense, non-key columns alternating NULL — the same
     shape as the pytest sweep's [n, True] parametrization (kept in
@@ -238,6 +263,8 @@ def plant(
         mode = "neg"
     elif extreme:
         mode = "xtreme"
+    elif times:
+        mode = "times"
     else:
         mode = "null"
     sf_dir = os.path.join(base, f"{mode}_sf_{n_rows}")
@@ -259,6 +286,8 @@ def plant(
                     row.append(
                         _synth_value(f.dataType, i, extreme=not is_key)
                     )
+                elif times:
+                    row.append(_synth_value(f.dataType, i, times=True))
                 elif not ties and not nasty and not is_key and (i + j) % 2 == 0:
                     row.append(None)
                 else:
@@ -284,7 +313,12 @@ def main() -> int:
     dupkeys = "--dupkeys" in args
     neg = "--neg" in args
     extreme = "--extreme" in args
+    times = "--times" in args
     args = [a for a in args if not a.startswith("--")]
+    # non-numeric positional args filter the run to named queries
+    # (triage loops: `... --times q_ts_gapfill q_fn_date`)
+    only = {a for a in args if not a.isdigit()}
+    args = [a for a in args if a.isdigit()]
     n_rows = int(args[0]) if args else 8
     if ties:
         expected = TIE_EXPECTED_DIVERGENCE
@@ -296,23 +330,27 @@ def main() -> int:
         expected = NEG_EXPECTED_DIVERGENCE
     elif extreme:
         expected = EXTREME_EXPECTED_DIVERGENCE
+    elif times:
+        expected = TIMES_EXPECTED_DIVERGENCE
     else:
         expected = EXPECTED_DIVERGENCE
     spark = get_session("kse-null-parity")
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="kse-null-parity-")
     try:
-        sf_dir = plant(spark, base, n_rows, ties, nasty, dupkeys, neg, extreme)
+        sf_dir = plant(spark, base, n_rows, ties, nasty, dupkeys, neg, extreme, times)
         con = check.duck_connect(sf_dir)
         qs = registry.all_queries()
         unexpected, stale, n_pass, n_skip, n_both_reject = [], [], 0, 0, 0
         for name, q in qs.items():
+            if only and name not in only:
+                continue
             if q.oracle is None and q.check_oracle is None:
                 n_skip += 1
                 continue
             oracle = q.oracle or q.check_oracle
-            if extreme:
-                # extreme-mode contract: both engines rejecting the
+            if extreme or times:
+                # extreme/times contract: both engines rejecting the
                 # input identically-in-kind (each raises) is parity
                 s_exc = d_exc = None
                 spark_pdf = duck_pdf = None
@@ -362,9 +400,10 @@ def main() -> int:
                 n_pass += 1
         mode_name = (
             "tie" if ties else "nasty" if nasty else "dup" if dupkeys
-            else "neg" if neg else "xtreme" if extreme else "null"
+            else "neg" if neg else "xtreme" if extreme
+            else "times" if times else "null"
         )
-        extra = f", {n_both_reject} both-reject" if extreme else ""
+        extra = f", {n_both_reject} both-reject" if (extreme or times) else ""
         print(
             f"\n== {mode_name}-parity: "
             f"{n_pass} ok, {len(unexpected)} unexpected "
