@@ -30,6 +30,16 @@ class PipelineConfig:
     watermark: str = "15 minutes"
     min_value: float = 0.0
     event_types: tuple[str, ...] = ("click", "view", "purchase", "signup", "error")
+    # Streaming state-store count = spark.sql.shuffle.partitions AT QUERY
+    # START (pinned into the checkpoint thereafter), so it must be sized to
+    # the STATE keyspace — windows × event_types here. Measured at sf0.1
+    # (tools/stream_profile.py, 21k-row keyspace on local[32]): 8 stores vs
+    # 32 is throughput-neutral — fewer stores means fewer parallel commit
+    # tasks, and the per-store fixed cost only dominates when stores >>
+    # cores or state is near-empty. The knob exists because a 100 TB
+    # deployment sizes it deliberately (with a NEW checkpoint — the old one
+    # pins the old count). None = inherit the session's setting.
+    shuffle_partitions: int | None = None
 
 
 def transform(events: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
@@ -87,12 +97,22 @@ def run_offline(
         spark, events_dir, fmt=fmt, max_files_per_trigger=max_files_per_trigger
     )
     docs = windowed_docs(events, cfg)
-    return write_stream_to_index(
-        docs,
-        JsonlIndexer(index_root),
-        index="event_windows",
-        id_col="doc_id",
-        checkpoint_dir=checkpoint_dir,
-        output_mode="update",
-        available_now=True,
-    )
+    # shuffle.partitions is read once at stream START and pinned in the
+    # checkpoint; scope the state-store sizing to this query by setting it
+    # around .start() and restoring the session value immediately after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if cfg.shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+    try:
+        return write_stream_to_index(
+            docs,
+            JsonlIndexer(index_root),
+            index="event_windows",
+            id_col="doc_id",
+            checkpoint_dir=checkpoint_dir,
+            output_mode="update",
+            available_now=True,
+        )
+    finally:
+        if cfg.shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
