@@ -97,7 +97,7 @@ SELECT o_custkey, o_orderkey,
        nth_value(o_totalprice, 2) OVER w AS second_price,
        first_value(o_totalprice) OVER w AS top_price
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
     doc="nth_value / first_value over an unbounded frame (per-customer "
@@ -239,8 +239,10 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_minmax_by",
     oracle="""
 SELECT l_returnflag,
-       max(struct_pack(p := l_extendedprice, k := l_orderkey)).k AS top_orderkey,
-       min(struct_pack(p := l_extendedprice, k := l_orderkey)).k AS bottom_orderkey,
+       max(CASE WHEN l_extendedprice IS NOT NULL
+                THEN struct_pack(p := l_extendedprice, k := l_orderkey) END).k AS top_orderkey,
+       min(CASE WHEN l_extendedprice IS NOT NULL
+                THEN struct_pack(p := l_extendedprice, k := l_orderkey) END).k AS bottom_orderkey,
        max(l_extendedprice) AS top_price
 FROM lineitem GROUP BY l_returnflag
 """,
@@ -249,11 +251,19 @@ FROM lineitem GROUP BY l_returnflag
     "ordering key is the COMPOSITE (price, orderkey) — bare max_by is "
     "nondeterministic under price ties (and engine-divergent: the tie "
     "battery caught Spark and DuckDB electing different orderkeys), so "
-    "both sides take the lexicographic struct extreme, which is total.",
+    "both sides take the lexicographic struct extreme, which is total. "
+    "Rows with a NULL price are masked out of the composite on BOTH "
+    "sides (SQL arg_max semantics: a NULL ordering value never elects) — "
+    "a struct with a NULL FIELD is not a NULL struct, and the engines "
+    "order it oppositely (Spark: NULL field largest; DuckDB: smallest), "
+    "a divergence the seeded-random fuzz battery caught.",
 )
 def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    key = F.struct(F.col("l_extendedprice").alias("p"), F.col("l_orderkey").alias("k"))
+    key = F.when(
+        F.col("l_extendedprice").isNotNull(),
+        F.struct(F.col("l_extendedprice").alias("p"), F.col("l_orderkey").alias("k")),
+    )
     return li.groupBy("l_returnflag").agg(
         F.max(key).getField("k").alias("top_orderkey"),
         F.min(key).getField("k").alias("bottom_orderkey"),
@@ -476,15 +486,26 @@ FROM events GROUP BY 1, 2
         "deterministic selections, not order-dependent first/last). "
         "Selection aggregates are exact doubles -- no rounding needed. One "
         "shuffle on (bucket, type); at 100 TB the group count scales with "
-        "time range x type cardinality, not row count."
+        "time range x type cardinality, not row count. Rows with a NULL "
+        "value are masked out of the open/close election on the Spark "
+        "side to mirror SQL arg_min/arg_max, which skip them (a NULL "
+        "price is not a trade): Spark's bare max_by elected a NULL value "
+        "as the bar close where DuckDB's arg_max returned the last real "
+        "one — a seeded-random fuzz find, expressed as masked struct "
+        "extremes because max_by's own NULL-row handling is the "
+        "divergence under repair."
     ),
 )
 def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     bucket = F.unix_micros(F.date_trunc("hour", F.col("ts")).cast("timestamp"))
+    pick = F.when(
+        F.col("value").isNotNull(),
+        F.struct(F.col("event_id").alias("eid"), F.col("value").alias("v")),
+    )
     return e.groupBy(bucket.alias("bucket_us"), "event_type").agg(
-        F.min_by("value", "event_id").alias("open"),
-        F.max_by("value", "event_id").alias("close"),
+        F.min(pick).getField("v").alias("open"),
+        F.max(pick).getField("v").alias("close"),
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
         F.count("*").alias("n"),
@@ -501,7 +522,7 @@ FROM (
          stddev_samp(value) OVER w AS sd,
          count(value) OVER w AS n
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
 )
 WHERE n = 20 AND sd > 0
@@ -551,7 +572,7 @@ SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
 FROM (
   SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          row_number() OVER (PARTITION BY o_orderstatus
-                            ORDER BY count(*) DESC, o_orderpriority) AS rn
+                            ORDER BY count(*) DESC, o_orderpriority NULLS LAST) AS rn
   FROM orders GROUP BY o_orderstatus, o_orderpriority
 ) WHERE rn = 1
 """,
@@ -559,13 +580,19 @@ FROM (
         "Statistical mode per group, built deterministically (count + "
         "row_number with a lexical tie-break) instead of F.mode, whose tie "
         "choice is engine-dependent. Two shuffles but the second operates "
-        "on |statuses x priorities| rows -- constant-size at any scale."
+        "on |statuses x priorities| rows -- constant-size at any scale. "
+        "The tie-break pins NULLS LAST on both sides (Spark ASC defaults "
+        "NULLS FIRST, DuckDB NULLS LAST): under a count tie a NULL "
+        "priority must not beat a real value to the elected mode — found "
+        "by the seeded-random fuzz battery."
     ),
 )
 def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.asc_nulls_last("o_orderpriority")
+    )
     return (
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -684,7 +711,7 @@ WITH ordered AS (
 )
 SELECT event_id, user_id,
        list_reduce(
-         list(value) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+         list(value) OVER (PARTITION BY user_id ORDER BY t_us NULLS LAST, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          (acc, v) -> 0.7 * acc + 0.3 * v) AS ewma
 FROM ordered
@@ -934,7 +961,7 @@ WITH monthly AS (
 SELECT o_orderpriority, mi, n,
        round((rev - lag(rev) OVER w) / lag(rev) OVER w, 6) AS rev_pct_change
 FROM monthly
-WINDOW w AS (PARTITION BY o_orderpriority ORDER BY mi)
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY mi NULLS FIRST)
 """,
     doc=(
         "Period-over-period change — the dashboard query shape: monthly "
@@ -942,7 +969,13 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY mi)
         "integer sums) followed by lag-based percent change over the "
         "SERIES (one row per month x priority — metadata-scale, so the "
         "per-priority window costs nothing). First month per priority is "
-        "NULL by definition, preserved in both engines."
+        "NULL by definition, preserved in both engines. The window ORDER "
+        "BY pins NULLS FIRST explicitly on both sides: Spark's ASC "
+        "default is NULLS FIRST, DuckDB's is NULLS LAST, so a NULL month "
+        "(corrupt order date) silently reorders the lag chain otherwise — "
+        "found by the seeded-random fuzz battery, invisible to the NULL "
+        "battery because its alternating pattern correlates NULLs across "
+        "columns (rev was NULL whenever mi was)."
     ),
 )
 def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,7 +987,7 @@ def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum(F.col("o_totalprice"), "rev"),
     )
-    w = Window.partitionBy("o_orderpriority").orderBy("mi")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.asc_nulls_first("mi"))
     prev = F.lag("rev").over(w)
     return monthly.select(
         "o_orderpriority",
@@ -1027,8 +1060,8 @@ WITH rev AS (
 ),
 ranked AS (
   SELECT r,
-         row_number() OVER (ORDER BY r DESC, o_custkey) AS rn,
-         sum(r) OVER (ORDER BY r DESC, o_custkey
+         row_number() OVER (ORDER BY r DESC NULLS LAST, o_custkey) AS rn,
+         sum(r) OVER (ORDER BY r DESC NULLS LAST, o_custkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
          sum(r) OVER () AS tot
   FROM rev
@@ -1519,7 +1552,7 @@ SELECT o_custkey,
        CAST(lead(o_orderdate) OVER w IS NULL AS BOOLEAN) AS is_current
 FROM orders
 WHERE o_custkey % 100 = 7
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 """,
     doc=(
         "Slowly-changing-dimension type 2 build: treat each order as a "
@@ -1568,7 +1601,7 @@ SELECT o_custkey,
        CAST(lead(o_orderdate) OVER w IS NULL AS BOOLEAN) AS is_current
 FROM orders
 WHERE o_custkey % 100 = 7
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 """,
     doc=(
         "Incremental SCD2 apply — the 100 TB form q_sql_scd2's docstring "
@@ -1603,7 +1636,16 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
     from kse.queries._util import ts_us
 
     o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 7)
-    hist = o.filter(F.col("o_orderdate") < F.lit(split).cast("date"))
+    # A NULL change date sorts NULLS FIRST in the rebuild's version
+    # window — before every real date — so it belongs to HISTORY for any
+    # split. The bare < / >= pair satisfies NEITHER side for NULL, which
+    # silently DROPPED the row while the full-rebuild oracle versioned
+    # it (seeded-random fuzz find: the one sampled customer had a NULL
+    # date, and the incremental returned an empty dimension).
+    hist = o.filter(
+        (F.col("o_orderdate") < F.lit(split).cast("date"))
+        | F.col("o_orderdate").isNull()
+    )
     delta = o.filter(F.col("o_orderdate") >= F.lit(split).cast("date"))
 
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")

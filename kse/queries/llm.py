@@ -966,7 +966,7 @@ scored AS (
 )
 SELECT vec_id, label, round(cos_raw, 4) AS cos_sim
 FROM scored
-QUALIFY row_number() OVER (ORDER BY cos_raw DESC, vec_id) <= 10
+QUALIFY row_number() OVER (ORDER BY cos_raw DESC NULLS LAST, vec_id) <= 10
 """,
     doc=(
         "Brute-force top-k cosine kNN: broadcast the query vector, score "
@@ -1014,7 +1014,7 @@ scored AS (
 )
 SELECT query_id, vec_id, round(cos_raw, 4) AS cos_sim
 FROM scored
-QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) <= 3
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC NULLS LAST, vec_id) <= 3
 """,
     doc=(
         "Batched kNN — the ANN-serving shape: a TABLE of query vectors "
@@ -3307,8 +3307,21 @@ _IB_K = 4        # hash functions
 
 def dedup_key() -> F.Column:
     """The 5-token prefix fingerprint both the batch query and the
-    streaming foreachBatch apply use as the dedup key."""
-    return F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))
+    streaming foreachBatch apply use as the dedup key.
+
+    NULL-preserving: concat_ws null-skips, so an unguarded key turns a
+    NULL document into '' — which then exact-matches every other NULL
+    document (and every genuinely-empty document) as a phantom
+    duplicate, where the SQL oracle's NULL key matches nothing. The r4
+    NULL battery fixed this class across the shingle family; this site
+    survived because that battery's alternating pattern never put a
+    NULL text in the one-doc batch partition — the seeded-random fuzz
+    battery (decorrelated NULLs) caught it.
+    """
+    return F.when(
+        F.col("text").isNotNull(),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)),
+    )
 
 
 def bloom_dup_flags(batch: DataFrame, hist: DataFrame) -> DataFrame:

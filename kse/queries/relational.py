@@ -660,7 +660,7 @@ def q_join_theta_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, o_orderkey AS asof_orderkey
 FROM events JOIN orders
   ON o_custkey = user_id AND o_orderdate <= ts
-QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC) = 1
 """,
     doc=(
         "As-of join: each event matched to the latest order of the same "
@@ -1003,11 +1003,24 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corr from its co-moments through try_divide: Spark's corr
         # DIVIDE_BY_ZERO-throws under ANSI when a variance is 0 (constant
         # column — a real shape in filtered partitions); the explicit
-        # formula returns NULL there, matching DuckDB's corr
+        # formula returns NULL there, matching DuckDB's corr. SQL corr
+        # uses PAIRWISE deletion — every moment is computed over rows
+        # where BOTH columns are non-NULL — so each stddev masks by the
+        # OTHER column's non-nullness (stddev already skips its own
+        # NULLs); an unmasked stddev over all non-NULL qty rows diverges
+        # whenever the two columns' NULL patterns differ (seeded-random
+        # fuzz find: 2 complete pairs => corr exactly ±1, the unmasked
+        # formula read 0.0036). The n/(n-1) sample factors cancel, so
+        # cov_samp/(sd_samp·sd_samp) equals the population definition.
         r6(
             F.try_divide(
                 F.covar_samp("l_quantity", "l_extendedprice"),
-                F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+                F.stddev_samp(
+                    F.when(F.col("l_extendedprice").isNotNull(), F.col("l_quantity"))
+                )
+                * F.stddev_samp(
+                    F.when(F.col("l_quantity").isNotNull(), F.col("l_extendedprice"))
+                ),
             ),
             "corr_qty_price",
         ),

@@ -27,7 +27,7 @@ SELECT o_custkey, o_orderkey, o_totalprice,
        CAST(rank() OVER w AS INT) AS rk,
        CAST(dense_rank() OVER w AS INT) AS drk
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
 """,
     doc="row_number / rank / dense_rank per customer (keyed tie-break for "
     "determinism; DuckDB window counters are BIGINT → cast to INT).",
@@ -53,7 +53,7 @@ SELECT o_orderkey, o_orderstatus,
        percent_rank() OVER w AS pct_rank,
        cume_dist() OVER w AS cdist
 FROM orders
-WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS FIRST, o_orderkey)
 """,
     doc="ntile / percent_rank / cume_dist (exact integer ratios — "
     "bitwise-identical across engines, no rounding).",
@@ -78,7 +78,7 @@ SELECT event_id, user_id, value,
        lead(value) OVER w AS next_value,
        value - lag(value) OVER w AS delta
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 """,
     doc="lag/lead per user over event time — the sessionization precursor "
     "(per-row doubles, no rounding needed).",
@@ -194,7 +194,7 @@ FROM (
          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
          row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ) WHERE rn = 1
 """,
@@ -233,10 +233,10 @@ WITH ts_ord AS (
          CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 OR
                    lag(ts_us) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_session
-  FROM ts_ord WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+  FROM ts_ord WINDOW w AS (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id)
 ), sessions AS (
   SELECT user_id, ts_us, event_id,
-         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
@@ -337,13 +337,13 @@ WITH days AS (
 ),
 flagged AS (
   SELECT user_id, day,
-         CASE WHEN day - lag(day) OVER (PARTITION BY user_id ORDER BY day) = 1
+         CASE WHEN day - lag(day) OVER (PARTITION BY user_id ORDER BY day NULLS FIRST) = 1
               THEN 0 ELSE 1 END AS new_streak
   FROM days
 ),
 streaks AS (
   SELECT user_id, day,
-         sum(new_streak) OVER (PARTITION BY user_id ORDER BY day
+         sum(new_streak) OVER (PARTITION BY user_id ORDER BY day NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS streak_id
   FROM flagged
 )

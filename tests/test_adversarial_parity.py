@@ -69,6 +69,21 @@ REPRESENTATIVES = {
     "times": [
         "q_fn_date",
     ],
+    # --rand fuzz battery fix classes (r5): window ORDER BYs must pin
+    # NULL placement explicitly (Spark ASC defaults NULLS FIRST, DuckDB
+    # NULLS LAST — a NULL sort key silently reorders a lag chain /
+    # elects NULL as a tie-broken mode), and corr-from-moments must use
+    # SQL corr's pairwise deletion (mask each stddev by the OTHER
+    # column's non-nullness)
+    "rand": [
+        "q_win_pct_change",
+        "q_agg_mode",
+        "q_agg_stats",
+        "q_agg_minmax_by",        # struct-extreme must mask NULL order values
+        "q_win_ntile_percent",    # window ORDER BY NULL placement pinned
+        "q_llm_dedup_incremental",  # NULL-preserving dedup key
+        "q_ts_downsample",        # OHLC close skips NULL values (arg_max)
+    ],
 }
 
 
@@ -84,6 +99,7 @@ def planted(spark, tmp_path_factory):
         "nasty": null_parity.plant(spark, str(base), 6, nasty=True),
         "extreme": null_parity.plant(spark, str(base), 8, extreme=True),
         "times": null_parity.plant(spark, str(base), 8, times=True),
+        "rand": null_parity.plant(spark, str(base), 8, rand=True, seed=1),
     }
     yield dirs
     for sf_dir in dirs.values():

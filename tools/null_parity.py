@@ -124,6 +124,53 @@ EXTREME_EXPECTED_DIVERGENCE: dict[str, str] = {}
 # contract: engines consistently rejecting an absurd span is parity.
 TIMES_EXPECTED_DIVERGENCE: dict[str, str] = {}
 
+# Seeded-random fuzz mode (--rand, optionally --seed=N): every non-key
+# column drawn from a seeded hash of (seed, table, column, row) — finite,
+# micro-exact doubles across ±1e6, mixed-sign integers, random short
+# token strings (incl. empty), millisecond-precision timestamps across
+# 1990-2005, randomized vectors — with ~25% NULLs interleaved. The
+# structured modes each isolate ONE adversarial axis; this mode probes
+# the INTERACTIONS (SQLancer-style differential fuzzing: random data,
+# two engines, any disagreement is a bug in one of them). Different
+# seeds draw different tables, so reruns with fresh seeds keep probing.
+RAND_EXPECTED_DIVERGENCE: dict[str, str] = {}
+
+_RAND_WORDS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "λämbda", "mu", "nu", "xi", "ömicron", "pi",
+]
+
+
+def _rand_value(dtype, r: int):
+    """Deterministic pseudo-random value for ``dtype`` from hash draw ``r``.
+
+    Domains are wide but SANE (finite doubles that stay micro-exact,
+    years 1990-2005): the extreme/times modes own the reject-line edges;
+    this generator owns combinatorial interaction coverage.
+    """
+    import pyspark.sql.types as T
+
+    if isinstance(dtype, (T.LongType, T.IntegerType)):
+        return (r % 2_000_001) - 1_000_000
+    if isinstance(dtype, T.DoubleType):
+        # milli-precision in ±1e6: micro-unit quantization stays exact
+        return ((r % 2_000_000_001) / 1e3) - 1_000_000.0
+    if isinstance(dtype, T.StringType):
+        n_words = r % 6  # 0 => empty string
+        return " ".join(
+            _RAND_WORDS[(r // (7 ** (k + 1))) % len(_RAND_WORDS)]
+            for k in range(n_words)
+        )
+    if isinstance(dtype, (T.TimestampNTZType, T.TimestampType)):
+        return dt.datetime(1990, 1, 1) + dt.timedelta(
+            seconds=r % (16 * 365 * 86400), milliseconds=r % 1000
+        )
+    if isinstance(dtype, T.ArrayType):
+        return [float(((r >> (j % 28)) + j * 2654435761) % 15 - 7) for j in range(64)]
+    if isinstance(dtype, T.BinaryType):
+        return bytes([(r >> (8 * k)) % 256 for k in range(4)])
+    raise ValueError(f"no rand value for {dtype}")
+
 _EXTREME_TIMES = [
     dt.datetime(1970, 1, 1, 0, 0, 0),                 # epoch zero
     dt.datetime(1970, 1, 1, 0, 0, 0, 1),              # +1 microsecond
@@ -234,6 +281,7 @@ def plant(
     spark, base: str, n_rows: int,
     ties: bool = False, nasty: bool = False, dupkeys: bool = False,
     neg: bool = False, extreme: bool = False, times: bool = False,
+    rand: bool = False, seed: int = 1,
 ) -> str:
     """NULL mode: keys dense, non-key columns alternating NULL — the same
     shape as the pytest sweep's [n, True] parametrization (kept in
@@ -265,6 +313,8 @@ def plant(
         mode = "xtreme"
     elif times:
         mode = "times"
+    elif rand:
+        mode = f"rand{seed}"
     else:
         mode = "null"
     sf_dir = os.path.join(base, f"{mode}_sf_{n_rows}")
@@ -288,6 +338,16 @@ def plant(
                     )
                 elif times:
                     row.append(_synth_value(f.dataType, i, times=True))
+                elif rand and not is_key:
+                    import hashlib
+
+                    digest = hashlib.md5(
+                        f"{seed}:{name}:{j}:{i}".encode()
+                    ).hexdigest()
+                    r = int(digest[:15], 16)
+                    row.append(None if r % 4 == 0 else _rand_value(f.dataType, r))
+                elif rand:
+                    row.append(_synth_value(f.dataType, i))
                 elif not ties and not nasty and not is_key and (i + j) % 2 == 0:
                     row.append(None)
                 else:
@@ -314,6 +374,11 @@ def main() -> int:
     neg = "--neg" in args
     extreme = "--extreme" in args
     times = "--times" in args
+    rand = "--rand" in args
+    seed = 1
+    for a in args:
+        if a.startswith("--seed="):
+            seed = int(a.split("=", 1)[1])
     args = [a for a in args if not a.startswith("--")]
     # non-numeric positional args filter the run to named queries
     # (triage loops: `... --times q_ts_gapfill q_fn_date`)
@@ -332,13 +397,18 @@ def main() -> int:
         expected = EXTREME_EXPECTED_DIVERGENCE
     elif times:
         expected = TIMES_EXPECTED_DIVERGENCE
+    elif rand:
+        expected = RAND_EXPECTED_DIVERGENCE
     else:
         expected = EXPECTED_DIVERGENCE
     spark = get_session("kse-null-parity")
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="kse-null-parity-")
     try:
-        sf_dir = plant(spark, base, n_rows, ties, nasty, dupkeys, neg, extreme, times)
+        sf_dir = plant(
+            spark, base, n_rows, ties, nasty, dupkeys, neg, extreme, times,
+            rand, seed,
+        )
         con = check.duck_connect(sf_dir)
         qs = registry.all_queries()
         unexpected, stale, n_pass, n_skip, n_both_reject = [], [], 0, 0, 0
@@ -401,7 +471,7 @@ def main() -> int:
         mode_name = (
             "tie" if ties else "nasty" if nasty else "dup" if dupkeys
             else "neg" if neg else "xtreme" if extreme
-            else "times" if times else "null"
+            else "times" if times else f"rand(seed={seed})" if rand else "null"
         )
         extra = f", {n_both_reject} both-reject" if (extreme or times) else ""
         print(
