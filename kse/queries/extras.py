@@ -711,7 +711,7 @@ WITH ordered AS (
 )
 SELECT event_id, user_id,
        list_reduce(
-         list(value) OVER (PARTITION BY user_id ORDER BY t_us NULLS LAST, event_id
+         list(value) OVER (PARTITION BY user_id ORDER BY t_us NULLS FIRST, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          (acc, v) -> 0.7 * acc + 0.3 * v) AS ewma
 FROM ordered
@@ -810,7 +810,11 @@ def q_ts_ewma_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(pdf):
         import numpy as np
 
-        pdf = pdf.sort_values(["t_us", "event_id"])
+        # na_position="first": a NULL timestamp must occupy the same fold
+        # position in all three implementations — Spark's array_sort struct
+        # comparator puts NULL fields FIRST (measured), so the pandas twin
+        # and the oracle pin NULLS FIRST to match (pandas defaults NaN last)
+        pdf = pdf.sort_values(["t_us", "event_id"], na_position="first")
         vals = pdf["value"].to_numpy()
         out = np.empty(len(vals))
         acc = 0.0

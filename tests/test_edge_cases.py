@@ -264,3 +264,53 @@ def test_gapfill_all_null_ts_yields_empty_spine(spark, tmp_path):
         str(sf_dir / "events.parquet")
     )
     assert q_ts_gapfill(spark, str(sf_dir)).count() == 0
+
+
+def test_ewma_null_ts_fold_order_aligned_across_all_three(spark, tmp_path):
+    """Multi-row users with NULL timestamps — the one shape NO parity
+    battery reaches (user_id is a dense key in every planted table, so
+    per-user windows only ever see single-row partitions there). The
+    three EWMA implementations must fold in the SAME order for NULL ts:
+    Spark's array_sort struct comparator puts NULL fields FIRST
+    (measured — note aggregate min/max order NULL struct fields LAST,
+    so this is not derivable from one observation), pandas defaults
+    NaN LAST, and the engines' window defaults disagree; all three are
+    pinned to NULLS FIRST, tie-broken by event_id."""
+    import datetime as dt
+    import os
+    import sys
+
+    from kse.catalog import SCHEMAS
+    from kse.queries.extras import q_ts_ewma, q_ts_ewma_pandas, _EWMA_ORACLE
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
+    import check
+
+    sf_dir = tmp_path / "null_ts_multirow"
+    sf_dir.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [  # user 7: two NULL-ts rows interleaved with real ones
+        (1, None, 7, "click", 10.0, "{}"),
+        (2, t0, 7, "view", 20.0, "{}"),
+        (3, dt.datetime(2024, 1, 2), 7, "click", 30.0, "{}"),
+        (4, None, 7, "view", 40.0, "{}"),
+        (5, t0, 8, "click", 50.0, "{}"),
+        (6, None, 8, "view", None, "{}"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(sf_dir / "events.parquet")
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    jvm = q_ts_ewma(spark, str(sf_dir)).toPandas()
+    pan = q_ts_ewma_pandas(spark, str(sf_dir)).toPandas()
+    duck = con.execute(_EWMA_ORACLE).df()
+    assert not check.compare(jvm, duck), check.compare(jvm, duck)
+    assert not check.compare(pan, duck), check.compare(pan, duck)
