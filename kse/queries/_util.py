@@ -40,10 +40,21 @@ def sql_q(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> Data
 # the micro-unit device's own exactness bound (see dsum): a BIGINT sum
 # of floor(x*1e6) values stays exact (and round-trips the final double
 # division) while each |x| <= ~9e9 and the group total stays under 2^53
-# micro-units. One row outside this domain (huge-but-finite, ±Inf, NaN)
-# sends the whole group down the plain IEEE path.
+# micro-units. Finite values beyond that take the wide DECIMAL/HUGEINT
+# band (see dsum); only non-finite or absorption-band (> ~9e15) rows
+# send the whole group down the plain IEEE path.
 _MICRO_SAFE = 9.0e9
 MICRO_SAFE_SQL = "BETWEEN -9000000000.0 AND 9000000000.0"
+
+# wide-band bounds (see dsum): |x| <= 9e12 keeps floor(x*1e6) inside
+# BIGINT (9.0000005e18 < 2^63-1 = 9.223e18), |x| <= 9e15 keeps the
+# unit-scale floor(x) inside BIGINT with 1e6 headroom for the decimal
+# re-scale. Spelled as literals so oracle guards mirror them textually.
+_MID_SAFE = 9.0e12
+MID_SAFE_SQL = "BETWEEN -9000000000000.0 AND 9000000000000.0"
+_WIDE_SAFE = 9.0e15
+WIDE_SAFE_SQL = "BETWEEN -9000000000000000.0 AND 9000000000000000.0"
+_TWO53 = 9007199254740992  # 2^53 — the decimal->double split quantum
 
 
 def micro_exact(c: Column) -> Column:
@@ -75,35 +86,120 @@ def dsum(c: Column, alias: str) -> Column:
     ``floor(double)`` is a silent saturating java cast, so ``floor(Inf)``
     becomes Long.MAX and ``floor(NaN)`` becomes **0** — NaN rows would
     silently vanish from the sum (found by the ``--extreme`` parity
-    battery). Guard: rows are micro-quantized only when finite, and if the
-    group contains ANY non-finite value the plain IEEE double sum is
-    returned instead (Inf/NaN propagation is order-independent, so the
-    determinism device isn't needed there).
+    battery). Three bands:
+
+    - ``|x| <= 9e9``: the hot path above — BIGINT micro units.
+    - ``9e9 < |x| <= 9e15`` finite: the wide band. A plain IEEE fallback
+      here would be order-dependent under Spark's partial aggregation
+      (one 1e10 among small values rounds differently per association,
+      flagged by the round-5 advisor), so these groups sum exactly in
+      DECIMAL(38,0) micro units instead: ``floor(x*1e6+0.5)`` while that
+      stays inside BIGINT (|x| <= 9e12), unit-scale ``floor(x+0.5)*1e6``
+      above it (micro precision is already below one double ulp there).
+    - any NaN/±Inf or ``|x| > 9e15`` in the group: plain IEEE double sum.
+      Inf/NaN propagation is order-independent, and beyond ~9e15 a huge
+      value absorbs small addends in any association order, so the
+      remaining order sensitivity is confined to groups of multiple
+      comparable >9e15 values — documented out-of-domain (report DECIMAL
+      inputs if you genuinely sum astronomic doubles).
 
     Oracle twin: ``dsum_sql()`` below.
     """
     return dsum_expr(c).alias(alias)
 
 
+def out_of_domain(c: Column) -> Column:
+    """True when x forces the whole group onto the plain IEEE sum path:
+    NaN, ±Inf (both fail BETWEEN on either engine), or absorption-band
+    magnitude (|x| > 9e15)."""
+    return ~c.between(-_WIDE_SAFE, _WIDE_SAFE)
+
+
+def in_wide_band(c: Column) -> Column:
+    """True for finite 9e9 < |x| <= 9e15 — the DECIMAL(38,0) band."""
+    return c.between(-_WIDE_SAFE, _WIDE_SAFE) & ~micro_exact(c)
+
+
+def wide_micro(c: Column) -> Column:
+    """Per-row wide-band micro units as DECIMAL(38,0) (NULL outside the
+    band): ``floor(x*1e6+0.5)`` while that stays inside BIGINT
+    (|x| <= 9e12), unit-scale ``floor(x+0.5)*1e6`` above it (micro
+    precision is already below one double ulp there)."""
+    in_mid = c.between(-_MID_SAFE, _MID_SAFE) & ~micro_exact(c)
+    in_unit = c.between(-_WIDE_SAFE, _WIDE_SAFE) & ~c.between(-_MID_SAFE, _MID_SAFE)
+    return F.when(in_mid, F.floor(c * 1000000.0 + 0.5).cast("decimal(38,0)")).when(
+        in_unit, F.floor(c + 0.5).cast("decimal(38,0)") * 1000000
+    )
+
+
+def micro_total_to_double(fast: Column, wide: Column) -> Column:
+    """Combine a BIGINT hot-band micro sum and a DECIMAL(38,0) wide-band
+    micro sum (``wide`` non-NULL) into the final double value.
+
+    decimal -> double goes via a 2^53 quotient/remainder split: DuckDB's
+    int128->double cast is not correctly rounded past 2^53 (measured:
+    484000000001066500000 casts to ...66.56 there vs ...66.44 in the
+    JVM), so a direct CAST(total AS DOUBLE) would diverge by 1 ulp.
+    Both split parts are exactly representable doubles (remainder
+    < 2^53; the complement has its low 53 bits zero), and the single
+    IEEE add + divide round identically on both engines."""
+    total = (
+        F.coalesce(fast.cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)"))
+        + wide
+    )
+    mod = total % _TWO53
+    return ((total - mod).cast("double") + mod.cast("double")) / 1000000.0
+
+
 def dsum_expr(c: Column) -> Column:
     """Unaliased ``dsum`` — for call sites that derive further columns
     from the exact sum (averages, ratios) before naming them."""
-    n_unsafe = F.count(F.when(~micro_exact(c), F.lit(1)))
-    micro = F.sum(F.when(micro_exact(c), F.floor(c * 1000000.0 + 0.5))) / 1000000.0
-    return F.when(n_unsafe > 0, F.sum(c)).otherwise(micro)
-
-
-def dsum_sql(x: str) -> str:
-    """DuckDB twin of ``dsum``: micro-unit BIGINT sum on finite input,
-    plain IEEE sum when the group contains any non-finite value (the
-    unguarded CAST throws in DuckDB where Spark's floor silently
-    saturates — same totality gap, opposite failure mode)."""
+    n_bad = F.count(F.when(out_of_domain(c), F.lit(1)))
+    n_wide = F.count(F.when(in_wide_band(c), F.lit(1)))
+    fast = F.sum(F.when(micro_exact(c), F.floor(c * 1000000.0 + 0.5)))
+    wide = F.sum(wide_micro(c))
     return (
-        f"CASE WHEN count(CASE WHEN NOT ({x} {MICRO_SAFE_SQL}) THEN 1 END) > 0 "
-        f"THEN sum({x}) "
-        f"ELSE CAST(sum(CASE WHEN ({x} {MICRO_SAFE_SQL}) THEN "
-        f"CAST(floor({x} * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) "
-        f"/ 1000000.0 END"
+        F.when(n_bad > 0, F.sum(c))
+        .when(n_wide > 0, micro_total_to_double(fast, wide))
+        .otherwise(fast / 1000000.0)
+    )
+
+
+def dsum_sql(x: str, filter_sql: str = "") -> str:
+    """SQL twin of ``dsum``, in the dialect SHARED by Spark and DuckDB so
+    the same text serves both SQL-path queries and DuckDB oracles: BIGINT
+    micro-unit sum on the hot band, DECIMAL(38,0)-combined micro/unit sum
+    on the wide finite band, plain IEEE sum when the group contains any
+    non-finite or absorption-band value (the unguarded CAST throws in
+    DuckDB where Spark's floor silently saturates — same totality gap,
+    opposite failure mode). ``filter_sql`` (e.g. ``"l_linestatus = 'F'"``)
+    appends ``FILTER (WHERE ...)`` to every aggregate for pivot-style
+    conditional cells."""
+    f = f" FILTER (WHERE {filter_sql})" if filter_sql else ""
+    fast = (
+        f"sum(CASE WHEN ({x} {MICRO_SAFE_SQL}) THEN "
+        f"CAST(floor({x} * 1000000 + 0.5) AS BIGINT) END){f}"
+    )
+    wide = (
+        f"sum(CASE WHEN ({x} {MID_SAFE_SQL}) AND NOT ({x} {MICRO_SAFE_SQL}) "
+        f"THEN CAST(floor({x} * 1000000 + 0.5) AS DECIMAL(38,0)) "
+        f"WHEN ({x} {WIDE_SAFE_SQL}) AND NOT ({x} {MID_SAFE_SQL}) "
+        f"THEN CAST(floor({x} + 0.5) AS DECIMAL(38,0)) * 1000000 END){f}"
+    )
+    total = f"(COALESCE(CAST({fast} AS DECIMAL(38,0)), 0) + {wide})"
+    # decimal -> double via the 2^53 split (see dsum_expr): a direct
+    # CAST(total AS DOUBLE) is not correctly rounded in DuckDB past 2^53.
+    combined = (
+        f"(CAST({total} - ({total} % {_TWO53}) AS DOUBLE) "
+        f"+ CAST({total} % {_TWO53} AS DOUBLE)) / 1000000.0"
+    )
+    return (
+        f"CASE WHEN count(CASE WHEN NOT ({x} {WIDE_SAFE_SQL}) THEN 1 END){f} > 0 "
+        f"THEN sum({x}){f} "
+        f"WHEN count(CASE WHEN ({x} {WIDE_SAFE_SQL}) "
+        f"AND NOT ({x} {MICRO_SAFE_SQL}) THEN 1 END){f} > 0 "
+        f"THEN {combined} "
+        f"ELSE CAST({fast} AS BIGINT) / 1000000.0 END"
     )
 
 

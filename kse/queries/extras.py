@@ -9,21 +9,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kse.queries._util import dsum, micro_exact, r4, t
+from kse.queries._util import dsum_sql as _DSUM
 from kse.registry import register
 
 
 @register(
     "q_agg_pivot",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
        count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
        count(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
-       CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) FILTER (WHERE l_linestatus = 'F') > 0
-            THEN sum(l_quantity) FILTER (WHERE l_linestatus = 'F')
-            ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) FILTER (WHERE l_linestatus = 'F') AS BIGINT) / 1000000.0 END AS qty_f,
-       CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) FILTER (WHERE l_linestatus = 'O') > 0
-            THEN sum(l_quantity) FILTER (WHERE l_linestatus = 'O')
-            ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) FILTER (WHERE l_linestatus = 'O') AS BIGINT) / 1000000.0 END AS qty_o
+       {_DSUM("l_quantity", "l_linestatus = 'F'")} AS qty_f,
+       {_DSUM("l_quantity", "l_linestatus = 'O'")} AS qty_o
 FROM lineitem GROUP BY l_returnflag
 """,
     doc=(
@@ -34,13 +31,14 @@ FROM lineitem GROUP BY l_returnflag
 )
 def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    from kse.queries._util import dsum_expr
+
     q = F.col("l_quantity")
-    # finite-guarded micro sum inside the pivot cell (see _util.dsum):
-    # floor silently saturates Inf and zeroes NaN, so non-finite cells
-    # fall back to the plain IEEE sum on both engines
-    guarded = F.when(
-        F.count(F.when(~micro_exact(q), F.lit(1))) > 0, F.sum(q)
-    ).otherwise(F.sum(F.when(micro_exact(q), F.floor(q * 1000000.0 + 0.5))) / 1000000.0)
+    # the full three-band dsum device inside the pivot cell (see
+    # _util.dsum): hot-band BIGINT micro units, DECIMAL(38,0) wide band,
+    # plain IEEE fallback for non-finite/absorption cells — identical to
+    # the oracle's FILTER-ed dsum_sql cells
+    guarded = dsum_expr(q)
     out = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
@@ -657,9 +655,9 @@ def q_ts_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_skew_salted",
-    oracle="""
+    oracle=f"""
 SELECT event_type, count(*) AS n,
-       CASE WHEN count(CASE WHEN NOT (value BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(value) ELSE CAST(sum(CASE WHEN (value BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_value,
+       {_DSUM("value")} AS sum_value,
        round(max(value), 4) AS max_value
 FROM events GROUP BY event_type
 """,
@@ -685,20 +683,35 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
     # exact scaled-integer partial sums: order-independent across the
     # salt regrouping AND bit-equal to the oracle (see _util.dsum)
+    from kse.queries._util import (
+        in_wide_band,
+        micro_total_to_double,
+        out_of_domain,
+        wide_micro,
+    )
+
     v = F.col("value")
     partial = salted.groupBy("event_type", "salt").agg(
         F.count("*").alias("pn"),
-        # finite-guarded micro partials (see _util.dsum): floor silently
-        # saturates Inf / zeroes NaN, so non-finite rows are carried
-        # through the plain-sum channel instead and counted in pnf
+        # three-band partials (see _util.dsum), each an associative-
+        # commutative sum/count so the salt regrouping is exact: BIGINT
+        # micro units (hot band), DECIMAL(38,0) micro units (wide finite
+        # band), the plain-sum channel for non-finite/absorption rows,
+        # and the two band counts that pick the final branch
         F.sum(F.when(micro_exact(v), F.floor(v * 1000000.0 + 0.5))).alias("psum"),
+        F.sum(wide_micro(v)).alias("pwide"),
         F.sum(v).alias("pplain"),
-        F.count(F.when(~micro_exact(v), F.lit(1))).alias("pnf"),
+        F.count(F.when(out_of_domain(v), F.lit(1))).alias("pbad"),
+        F.count(F.when(in_wide_band(v), F.lit(1))).alias("pnwide"),
         F.max("value").alias("pmax"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        F.when(F.sum("pnf") > 0, F.sum("pplain"))
+        F.when(F.sum("pbad") > 0, F.sum("pplain"))
+        .when(
+            F.sum("pnwide") > 0,
+            micro_total_to_double(F.sum("psum"), F.sum("pwide")),
+        )
         .otherwise(F.sum("psum") / 1000000.0)
         .alias("sum_value"),
         r4(F.max("pmax"), "max_value"),
@@ -954,12 +967,12 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_win_pct_change",
-    oracle="""
+    oracle=f"""
 WITH monthly AS (
   SELECT o_orderpriority,
          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mi,
          count(*) AS n,
-         CASE WHEN count(CASE WHEN NOT (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(o_totalprice) ELSE CAST(sum(CASE WHEN (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS rev
+         {_DSUM("o_totalprice")} AS rev
   FROM orders GROUP BY o_orderpriority, year(o_orderdate) * 12 + month(o_orderdate)
 )
 SELECT o_orderpriority, mi, n,
@@ -1001,7 +1014,7 @@ def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINSORIZE_SPARK_SQL = """
+_WINSORIZE_SPARK_SQL = f"""
 WITH bounds AS (
   SELECT event_type,
          percentile_disc(0.01) WITHIN GROUP (ORDER BY value) AS lo,
@@ -1012,9 +1025,7 @@ SELECT e.event_type,
        count(*) AS n,
        CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
        CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
-       CASE WHEN count(CASE WHEN NOT (greatest(least(value, hi), lo) BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
-            THEN sum(greatest(least(value, hi), lo))
-            ELSE CAST(sum(CASE WHEN greatest(least(value, hi), lo) BETWEEN -9000000000.0 AND 9000000000.0 THEN CAST(floor(greatest(least(value, hi), lo) * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / CAST(1000000 AS DOUBLE) END AS winsorized_sum
+       {_DSUM("greatest(least(value, hi), lo)")} AS winsorized_sum
 FROM events e JOIN bounds USING (event_type)
 GROUP BY e.event_type
 """
@@ -1022,7 +1033,7 @@ GROUP BY e.event_type
 
 @register(
     "q_agg_winsorize",
-    oracle="""
+    oracle=f"""
 WITH bounds AS (
   SELECT event_type,
          quantile_disc(value, 0.01) AS lo,
@@ -1033,7 +1044,7 @@ SELECT e.event_type,
        count(*) AS n,
        CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
        CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
-       CASE WHEN count(CASE WHEN NOT (greatest(least(value, hi), lo) BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(greatest(least(value, hi), lo)) ELSE CAST(sum(CASE WHEN (greatest(least(value, hi), lo) BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(greatest(least(value, hi), lo) * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS winsorized_sum
+       {_DSUM("greatest(least(value, hi), lo)")} AS winsorized_sum
 FROM events e JOIN bounds USING (event_type)
 GROUP BY e.event_type
 """,
@@ -1144,9 +1155,9 @@ def q_join_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_bloom_prune",
-    oracle="""
+    oracle=f"""
 SELECT s.s_suppkey, count(*) AS n_items,
-       CASE WHEN count(CASE WHEN NOT (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_extendedprice) ELSE CAST(sum(CASE WHEN (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_price
+       {_DSUM("l_extendedprice")} AS sum_price
 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
 WHERE s.s_acctbal > 9000
 GROUP BY s.s_suppkey
@@ -1219,9 +1230,9 @@ def _events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scan_partition_prune",
-    oracle="""
+    oracle=f"""
 SELECT user_id, count(*) AS n_events,
-       CASE WHEN count(CASE WHEN NOT (value BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(value) ELSE CAST(sum(CASE WHEN (value BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_value
+       {_DSUM("value")} AS sum_value
 FROM events
 WHERE event_type = 'purchase'
 GROUP BY user_id
@@ -1290,9 +1301,9 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_skew_salted",
-    oracle="""
+    oracle=f"""
 SELECT o_orderpriority, count(*) AS n_items,
-       CASE WHEN count(CASE WHEN NOT (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_extendedprice) ELSE CAST(sum(CASE WHEN (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_price
+       {_DSUM("l_extendedprice")} AS sum_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kse.queries._util import dsum, micro_exact, r4, r6, sql_q, t
+from kse.queries._util import dsum_sql as _DSUM
 from kse.registry import register
 
 # ---------------------------------------------------------------------------
@@ -372,9 +373,9 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_inner_hash",
-    oracle="""
+    oracle=f"""
 SELECT o_orderpriority, count(*) AS n_lines,
-       CASE WHEN count(CASE WHEN NOT (l_extendedprice * (1 - l_discount) BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_extendedprice * (1 - l_discount)) ELSE CAST(sum(CASE WHEN (l_extendedprice * (1 - l_discount) BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS revenue
+       {_DSUM("l_extendedprice * (1 - l_discount)")} AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
 GROUP BY o_orderpriority
@@ -401,8 +402,8 @@ def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_broadcast",
-    oracle="""
-SELECT p_brand, count(*) AS n_lines, CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_quantity) ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_qty
+    oracle=f"""
+SELECT p_brand, count(*) AS n_lines, {_DSUM("l_quantity")} AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size <= 10
 GROUP BY p_brand
@@ -425,8 +426,8 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_sortmerge",
-    oracle="""
-SELECT c_mktsegment, count(*) AS n_orders, CASE WHEN count(CASE WHEN NOT (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(o_totalprice) ELSE CAST(sum(CASE WHEN (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_price
+    oracle=f"""
+SELECT c_mktsegment, count(*) AS n_orders, {_DSUM("o_totalprice")} AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
@@ -448,8 +449,8 @@ def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_multiway",
-    oracle="""
-SELECT r_name, n_name, count(*) AS n_orders, CASE WHEN count(CASE WHEN NOT (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(o_totalprice) ELSE CAST(sum(CASE WHEN (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_price
+    oracle=f"""
+SELECT r_name, n_name, count(*) AS n_orders, {_DSUM("o_totalprice")} AS sum_price
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -726,9 +727,9 @@ def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_global",
-    oracle="""
+    oracle=f"""
 SELECT count(*) AS n_rows,
-       CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_quantity) ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_qty,
+       {_DSUM("l_quantity")} AS sum_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
        min(l_shipdate) = TIMESTAMP '1995-01-02' AS min_ship_ok
@@ -750,12 +751,12 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_groupby",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_quantity) ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_qty,
-       CASE WHEN count(CASE WHEN NOT (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_extendedprice) ELSE CAST(sum(CASE WHEN (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_base_price,
-       CASE WHEN count(CASE WHEN NOT (l_extendedprice * (1 - l_discount) BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_extendedprice * (1 - l_discount)) ELSE CAST(sum(CASE WHEN (l_extendedprice * (1 - l_discount) BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_disc_price,
-       CASE WHEN count(CASE WHEN NOT (l_extendedprice * (1 - l_discount) * (1 + l_tax) BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) ELSE CAST(sum(CASE WHEN (l_extendedprice * (1 - l_discount) * (1 + l_tax) BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_charge,
+       {_DSUM("l_quantity")} AS sum_qty,
+       {_DSUM("l_extendedprice")} AS sum_base_price,
+       {_DSUM("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {_DSUM("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -1028,14 +1029,12 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GROUPING_SETS_SQL = """
+_GROUPING_SETS_SQL = f"""
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
        count(*) AS n,
-       CASE WHEN count(CASE WHEN NOT (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
-            THEN sum(o_totalprice)
-            ELSE CAST(sum(CASE WHEN o_totalprice BETWEEN -9000000000.0 AND 9000000000.0 THEN CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) END) AS DOUBLE) / 1000000.0 END AS sum_price
+       {_DSUM("o_totalprice")} AS sum_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
@@ -1053,11 +1052,11 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_rollup",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
        CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-       count(*) AS n, CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(l_quantity) ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_qty
+       count(*) AS n, {_DSUM("l_quantity")} AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
     doc="ROLLUP subtotal cascade via the DataFrame API.",
@@ -1074,9 +1073,9 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_cube",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n, CASE WHEN count(CASE WHEN NOT (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(o_totalprice) ELSE CAST(sum(CASE WHEN (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_price
+       count(*) AS n, {_DSUM("o_totalprice")} AS sum_price
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     doc="CUBE over two keys (15 + subtotal rows).",
@@ -1090,8 +1089,8 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_having",
-    oracle="""
-SELECT o_custkey, count(*) AS n_orders, CASE WHEN count(CASE WHEN NOT (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum(o_totalprice) ELSE CAST(sum(CASE WHEN (o_totalprice BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS spend
+    oracle=f"""
+SELECT o_custkey, count(*) AS n_orders, {_DSUM("o_totalprice")} AS spend
 FROM orders GROUP BY o_custkey
 HAVING sum(o_totalprice) > 200000
 """,

@@ -26,14 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kse.queries._util import dsum, dsum_expr, micro_exact, t
+from kse.queries._util import dsum, dsum_expr, dsum_sql, micro_exact, t
 from kse.registry import register
 
-# oracle twin of _util.dsum: finite-guarded micro-unit sum (floor
-# silently saturates Inf / zeroes NaN on the Spark side and the raw CAST
-# throws on the DuckDB side, so non-finite groups use the plain IEEE sum
-# on both engines — see _util.dsum / dsum_sql)
-_MICRO = "CASE WHEN count(CASE WHEN NOT ({x} BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0 THEN sum({x}) ELSE CAST(sum(CASE WHEN ({x} BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor({x} * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END"
+# oracle twin of _util.dsum, generated from the single source of truth
+# (guarded three-band device: BIGINT micro hot path, DECIMAL(38,0) wide
+# finite band, plain IEEE sum for non-finite/absorption groups — see
+# _util.dsum / dsum_sql). The "{x}" placeholder survives the generation
+# so existing .format(x=...) call sites keep working.
+_MICRO = dsum_sql("{x}")
 
 _REV = _MICRO.format(x="l_extendedprice * (1 - l_discount)")
 

@@ -51,6 +51,13 @@ def get_session(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # Pin ANSI explicitly (Spark 4 default, but one ambient conf away):
+        # the engine's data-derived poison guards (e.g. the recursive
+        # quarter-spine stop bound in kse/queries/extras.py) rely on
+        # CAST('message' AS INT) THROWING on corrupt inputs. With ANSI off
+        # that cast yields NULL and a guard would silently truncate instead
+        # of failing loudly.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -60,11 +60,16 @@ class JsonlIndexer:
 
         def _write(batch_df: DataFrame, batch_id: int) -> None:
             out_dir = os.path.join(root, index, f"batch={batch_id:08d}")
+            # ignoreNullFields=false: Spark's to_json default DROPS
+            # null-valued fields, which would change the document shape vs
+            # the ES upsert contract (a NULL field must arrive as null, and
+            # a NULL id must still produce an "_id" key for read_index).
             payload = F.to_json(
                 F.struct(
                     F.col(id_col).cast("string").alias("_id"),
                     F.struct(*[F.col(c) for c in batch_df.columns]).alias("_source"),
-                )
+                ),
+                {"ignoreNullFields": "false"},
             )
             # mode=overwrite: a replayed micro-batch rewrites ITS OWN
             # directory => idempotent, same contract as the ES upserts
