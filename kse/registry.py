@@ -121,6 +121,34 @@ def _category(name: str) -> str:
     return parts[1] if parts[0] in ("q", "src") and len(parts) > 1 else parts[0]
 
 
+# Never-driver-sampled queries the r5 verdict requires in the r6 driver
+# prefix: the 7 remaining SURVEY §2.10 headliners and the 13 TPC-H shapes.
+# Names verified here drop out automatically (the list is filtered to the
+# still-fresh set at ordering time).
+_DRIVER_PRIORITY = [
+    "q_llm_sim_lsh_ann",
+    "q_llm_text_stats",
+    "q_llm_text_tokens",
+    "q_llm_tfidf",
+    "q_llm_multimodal",
+    "q_llm_quality_filter",
+    "q_llm_embed_stats",
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+]
+
+
 def _ordered_names() -> list[str]:
     """Registry names ordered so a sampled prefix maximizes NEW driver
     coverage: queries the per-round driver has never hash-verified green
@@ -151,7 +179,26 @@ def _ordered_names() -> list[str]:
         if n not in DRIVER_VERIFIED and n not in DRIVER_REQUEUE
     ]
     seen = [n for n in _REGISTRY if n in DRIVER_VERIFIED]
-    return round_robin(requeue) + round_robin(fresh) + round_robin(seen)
+    # Round-6 prefix policy (r5 verdict items #1/#2): the never-sampled
+    # SURVEY §2.10 headliners and TPC-H shapes lead outright, then other
+    # never-sampled queries, with AT MOST ~10 re-proof (requeue) slots
+    # inside a 50-query driver prefix — r5 spent half its sample
+    # re-proving battery-changed pairs and the never-sampled pool barely
+    # shrank. Requeued pairs are all green in the local exact-value
+    # harness (stricter than the driver hash); they drain at 10/round
+    # behind the fresh burn-down.
+    priority = [n for n in _DRIVER_PRIORITY if n in fresh]
+    fresh_rest = round_robin([n for n in fresh if n not in set(priority)])
+    rq = round_robin(requeue)
+    n_fresh_lead = max(0, 40 - len(priority))
+    return (
+        priority
+        + fresh_rest[:n_fresh_lead]
+        + rq[:10]
+        + fresh_rest[n_fresh_lead:]
+        + rq[10:]
+        + round_robin(seen)
+    )
 
 
 def all_queries() -> dict[str, Query]:
