@@ -214,7 +214,15 @@ def main() -> None:
     staged_dir = None  # degraded-mode symlink dir; removed in the finally
     try:
         from kse.catalog import table_path
-        from kse.streaming.pipeline import run_offline
+        from kse.streaming.pipeline import PipelineConfig, run_offline
+
+        # One-shot drain whose checkpoint is discarded: skip the trailing
+        # no-data watermark-flush micro-batch (~35% of a warm drain,
+        # tools/stream_profile.py) — in update mode it emits zero rows and
+        # only evicts state this run never reuses (index verified
+        # byte-identical either way; see PipelineConfig.no_data_microbatch
+        # for when the flush batch IS load-bearing).
+        stream_cfg = PipelineConfig(no_data_microbatch=False)
 
         if layout_ok:
             # events land as a bucketed table in the layout (user_id
@@ -244,6 +252,7 @@ def main() -> None:
                     events_dir,
                     os.path.join(workdir, "index"),
                     os.path.join(workdir, "ckpt"),
+                    stream_cfg,
                     fmt="parquet",
                     max_files_per_trigger=None,
                 )

@@ -234,16 +234,17 @@ GROUP BY event_type, k
     doc=(
         "JSON extraction from events.props ({\"k\": int} — FIXTURES.md), "
         "the core KSE transform [R]: parse → project → aggregate. "
-        "Single-key extraction measured four ways at 1M rows: "
-        "variant_get(parse_json(...)) 0.48 s, from_json 0.50 s, "
-        "get_json_object 0.54 s, a regexp_extract shortcut 0.27 s. The "
-        "variant path wins among real parsers and is what ships here — "
-        "it is also the Spark 4 shape that amortizes when several keys "
-        "are extracted from one parse. The regexp shortcut is 2x faster "
+        "Single-key extraction re-measured on Spark 4.1.2 at sf0.1 "
+        "(cached input, best-of-7): get_json_object 39.6 ms, "
+        "from_json('k INT') 44.3 ms, "
+        "try_variant_get(try_parse_json(...)) 59.8 ms — the round-3 "
+        "ordering (variant fastest) inverted, so the streaming JsonPath "
+        "parser ships here. A regexp_extract shortcut is ~2x faster "
         "still but rejected: it reads JSON as text, so escaped quotes, "
         "nested objects with the same key, or whitespace variants "
         "silently corrupt it. from_json with an explicit schema — never "
-        "inference — stays the multi-key / nested path."
+        "inference — stays the multi-key / nested path, and the variant "
+        "path remains the parse-once-extract-many shape (q_fn_variant)."
     ),
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,9 +252,12 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(
             "event_type",
-            # try_ forms: malformed/non-JSON props must yield NULL (the
-            # get_json_object behavior), not an ANSI parse error
-            F.expr("try_variant_get(try_parse_json(props), '$.k', 'int')").alias("k"),
+            # get_json_object: malformed/non-JSON props yield NULL (the
+            # oracle's json_valid guard), and the value arrives as a
+            # string — try_cast keeps a non-integer k NULL instead of an
+            # ANSI error (same exposure as the oracle's CAST, which no
+            # valid fixture row exercises: props' k is integer by schema)
+            F.expr("try_cast(get_json_object(props, '$.k') AS int)").alias("k"),
             "value",
         )
         .groupBy("event_type", "k")

@@ -459,8 +459,18 @@ GROUP BY r_name, n_name
 """,
     doc=(
         "4-table star chain. Dims (region, nation) broadcast; the "
-        "customer⋈orders edge is the only real shuffle. Hand-ordered "
-        "smallest-first; AQE + CBO may reorder further."
+        "customer⋈orders edge is the only real shuffle (at bench size "
+        "the optimizer auto-broadcasts customer too — a size-based "
+        "decision that reverts to the shuffle at scale). Hand-ordered "
+        "smallest-first; AQE + CBO may reorder further. Dispatch-job "
+        "fusion measured and rejected (r6, interleaved best-of-10 under "
+        "bench conditions): pre-joining nation⋈region into one broadcast "
+        "dim via shuffle_hash drops 4 jobs -> 3 but runs ~40 ms SLOWER "
+        "(273 -> 312 ms min) — the fused dim's internal shuffle stages "
+        "cost more than the one saved ~23 ms dispatch, and the three "
+        "broadcast builds already overlap (BroadcastExchange futures). "
+        "Fusing to 2 jobs requires broadcasting customer explicitly, "
+        "which hard-codes a plan that breaks at 100 TB; rejected."
     ),
 )
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:

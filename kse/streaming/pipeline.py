@@ -40,6 +40,18 @@ class PipelineConfig:
     # deployment sizes it deliberately (with a NEW checkpoint — the old one
     # pins the old count). None = inherit the session's setting.
     shuffle_partitions: int | None = None
+    # Spark runs one extra NO-DATA micro-batch after an availableNow drain
+    # to advance the watermark and evict expired state — measured at ~35%
+    # of a warm 100k-event drain (tools/stream_profile.py: 523 ms trigger
+    # on 0 input rows vs 1182 ms for the data batch). In UPDATE output
+    # mode that batch emits ZERO rows (verified: index byte-identical with
+    # it disabled), so a drain whose checkpoint does not outlive the run
+    # (bench, one-shot exports) can skip it via
+    # spark.sql.streaming.noDataMicroBatches.enabled=false. Keep the
+    # default (None = inherit, Spark default ON) whenever the checkpoint
+    # is reused: eviction then matters for state size, and APPEND-mode
+    # queries need the flush batch to emit their finalized windows at all.
+    no_data_microbatch: bool | None = None
 
 
 def transform(events: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
@@ -100,9 +112,14 @@ def run_offline(
     # shuffle.partitions is read once at stream START and pinned in the
     # checkpoint; scope the state-store sizing to this query by setting it
     # around .start() and restoring the session value immediately after.
+    # Same scoping for the no-data flush batch knob (see PipelineConfig).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    _ND_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nd = spark.conf.get(_ND_KEY)
     if cfg.shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+    if cfg.no_data_microbatch is not None:
+        spark.conf.set(_ND_KEY, str(cfg.no_data_microbatch).lower())
     try:
         return write_stream_to_index(
             docs,
@@ -116,3 +133,5 @@ def run_offline(
     finally:
         if cfg.shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if cfg.no_data_microbatch is not None:
+            spark.conf.set(_ND_KEY, prev_nd)

@@ -242,6 +242,46 @@ def test_pipeline_offline_end_to_end(spark, tmp_events_dir, tmp_path):
     assert idx2["1704103200000000:click"]["n_events"] == 1
 
 
+def test_pipeline_drain_without_flush_batch_is_output_identical(
+    spark, tmp_events_dir, tmp_path
+):
+    """The bench drain skips the trailing no-data watermark-flush
+    micro-batch (PipelineConfig.no_data_microbatch=False): in update mode
+    that batch only evicts state, so for a drain whose checkpoint is
+    discarded the indexed documents must be identical with and without it
+    (this is the contract bench.py's streaming number relies on)."""
+    from kse.streaming.pipeline import PipelineConfig
+
+    rows = [
+        ev(1, "2024-01-01T10:01:00Z", etype="click", value=1.0),
+        ev(2, "2024-01-01T10:02:00Z", etype="purchase", value=5.0),
+        ev(3, "2024-01-01T11:30:00Z", etype="click", value=2.0),  # advances wm
+    ]
+    write_event_chunk(tmp_events_dir, "000.json", rows)
+
+    q = run_offline(
+        spark, tmp_events_dir, str(tmp_path / "idx_flush"), str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+    with_flush = JsonlIndexer(str(tmp_path / "idx_flush")).read_index("event_windows")
+
+    q2 = run_offline(
+        spark,
+        tmp_events_dir,
+        str(tmp_path / "idx_noflush"),
+        str(tmp_path / "ck2"),
+        PipelineConfig(no_data_microbatch=False),
+    )
+    q2.awaitTermination(120)
+    no_flush = JsonlIndexer(str(tmp_path / "idx_noflush")).read_index("event_windows")
+
+    assert with_flush == no_flush and len(no_flush) == 3
+    # the knob is scoped to the query: the session conf is restored
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled") == "true"
+    )
+
+
 def test_es_bulk_indexer_payloads(spark, tmp_path):
     # transport runs inside executor Python workers — capture via files
     cap = tmp_path / "bulks"
