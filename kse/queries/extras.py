@@ -1682,17 +1682,30 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
         F.min("o_orderdate").alias("_first_new")
     )
 
-    # ONE pass over the stored dimension: closed rows keep their _to
-    # (coalesce picks it), each affected key's open row (_to IS NULL)
-    # closes at the key's first delta change, unaffected open rows pass
-    # through with _first_new NULL. At 100 TB this halves dimension
-    # traffic vs filtering closed/open into separate branches.
-    patched = dim.join(F.broadcast(first_new), "o_custkey", "left").select(
-        "o_custkey",
-        "version",
-        "_from",
-        F.coalesce("_to", "_first_new").alias("_to"),
-        "attr_price",
+    # ONE pass over the stored dimension: each affected key's OPEN row
+    # closes at the key's first delta change, everything else passes
+    # through untouched. The open row is the key's LAST VERSION — not
+    # "any row with _to IS NULL": consecutive NULL change dates give
+    # lead() a NULL _to on interior rows too, and a coalesce-based patch
+    # closed ALL of them at the first delta date while the rebuild keeps
+    # the interior NULLs (found by the seeded-fuzz SCD2 property test,
+    # r5 verdict item #7 — the by-hand NULL-date find generalized). At
+    # 100 TB this stays one dimension pass with two broadcast lookups.
+    patched = (
+        dim.join(F.broadcast(first_new), "o_custkey", "left")
+        .join(F.broadcast(max_v), "o_custkey", "left")
+        .select(
+            "o_custkey",
+            "version",
+            "_from",
+            F.when(
+                F.col("version") == F.col("_max_v"),
+                F.coalesce("_to", "_first_new"),
+            )
+            .otherwise(F.col("_to"))
+            .alias("_to"),
+            "attr_price",
+        )
     )
     new_rows = (
         delta.join(F.broadcast(max_v), "o_custkey", "left")

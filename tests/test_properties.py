@@ -311,3 +311,58 @@ def test_session_window_matches_batch_fold_property(spark, user_offsets):
             prev = m
         expect.add((u, base + dt.timedelta(minutes=start), n))
     assert got == expect
+
+
+def test_scd2_incremental_equals_rebuild_under_fuzz(spark, tmp_path):
+    """r5 verdict item: the NULL-change-date SCD2 class was found by hand
+    (a bare </>= split pair silently dropped NULL dates from both
+    batches); this automates the hunt. Seeded-fuzz change feeds with
+    DECORRELATED ~25% NULL dates/prices/keys, duplicate per-key change
+    dates (the o_orderkey tiebreak), and keys whose dates are entirely
+    NULL / pre-split / post-split — for every (seed, split), the
+    incremental apply must reproduce the full rebuild exactly, including
+    the all-history and all-delta extreme splits."""
+    import datetime as dt
+    import random
+
+    from kse.queries.extras import q_sql_scd2, scd2_incremental_apply
+
+    splits = ("1980-01-01", "1995-03-07", "1997-11-30", "2030-01-01")
+    for seed in (101, 202, 303):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(400):
+            # keys concentrated so each carries a long version chain; the
+            # queries keep only o_custkey % 100 == 7 — generate mostly
+            # matching keys plus non-matching and NULL keys for the filter
+            pick = rng.random()
+            if pick < 0.1:
+                key = None
+            elif pick < 0.2:
+                key = rng.randrange(1, 1000)  # mostly filtered out
+            else:
+                key = 7 + 100 * rng.randrange(0, 8)
+            if rng.random() < 0.25:
+                date = None
+            else:
+                date = dt.date(1992, 1, 1) + dt.timedelta(
+                    # coarse grid => frequent duplicate dates per key
+                    days=rng.randrange(0, 3000, 250)
+                )
+            price = None if rng.random() < 0.25 else round(rng.uniform(-1e4, 1e4), 2)
+            rows.append((key, i, date, price))
+        sf_dir = tmp_path / f"fuzz{seed}"
+        sf_dir.mkdir()
+        spark.createDataFrame(
+            rows,
+            "o_custkey long, o_orderkey long, o_orderdate date, o_totalprice double",
+        ).coalesce(1).write.parquet(str(sf_dir / "orders.parquet"))
+
+        full = {tuple(r) for r in q_sql_scd2(spark, str(sf_dir)).collect()}
+        assert full, f"seed {seed}: empty rebuild (generator broken)"
+        for split in splits:
+            inc = {
+                tuple(r)
+                for r in scd2_incremental_apply(spark, str(sf_dir), split).collect()
+            }
+            assert inc == full, f"seed {seed} split {split} diverged from rebuild"
