@@ -138,7 +138,9 @@ def q_fn_date_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_math",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       round(l_extendedprice, 2) AS price_r2,
+       CASE WHEN l_extendedprice BETWEEN -90000000000000.0 AND 90000000000000.0
+            THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) / 100.0
+            ELSE l_extendedprice END AS price_r2,
        CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
        CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
        abs(l_discount - 0.05) AS disc_dev,
@@ -158,7 +160,20 @@ FROM lineitem
         "(Spark returns LONG, DuckDB DOUBLE); squares via x*x not pow() "
         "(libm pow may differ in the last ulp across engines); "
         "transcendentals rounded to 6 dp; sqrt is IEEE-correctly-rounded "
-        "in both so it needs no rounding."
+        "in both so it needs no rounding. Cent rounding is the IEEE "
+        "floor device, not round(x, 2): both engines hold the identical "
+        "stored double, but Spark rounds via exact BigDecimal HALF_UP "
+        "while DuckDB scales in floating point, and a value within an "
+        "ulp of a .xx5 cent boundary flips between them (seed-10 fuzz "
+        "find: 676891.54 vs .55). floor(x*100+0.5) is the same IEEE op "
+        "sequence on both engines — deterministic, and exact while "
+        "|x| <= 9e13 keeps the scaled value under 2^53; beyond that the "
+        "double's own resolution is coarser than a cent and the raw "
+        "value passes through (also covers NaN/±Inf, which fail "
+        "BETWEEN on both engines). The 6-dp transcendental roundings "
+        "stay round(): their INPUTS may already differ by an ulp "
+        "(libm), so no device can pin them — the 6-dp quantum absorbs "
+        "the difference instead."
     ),
 )
 def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +183,9 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(p, 2).alias("price_r2"),
+        F.when(p.between(-9.0e13, 9.0e13), F.floor(p * 100 + 0.5) / 100.0)
+        .otherwise(p)
+        .alias("price_r2"),
         F.floor(p).alias("price_floor"),
         F.ceil(p).alias("price_ceil"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
