@@ -132,9 +132,8 @@ def wide_micro(c: Column) -> Column:
     )
 
 
-def micro_total_to_double(fast: Column, wide: Column) -> Column:
-    """Combine a BIGINT hot-band micro sum and a DECIMAL(38,0) wide-band
-    micro sum (``wide`` non-NULL) into the final double value.
+def dec_to_double(total: Column, scale: float = 1000000.0) -> Column:
+    """Exact-decimal total -> double value (dividing by ``scale``).
 
     decimal -> double goes via a 2^53 quotient/remainder split: DuckDB's
     int128->double cast is not correctly rounded past 2^53 (measured:
@@ -143,12 +142,30 @@ def micro_total_to_double(fast: Column, wide: Column) -> Column:
     Both split parts are exactly representable doubles (remainder
     < 2^53; the complement has its low 53 bits zero), and the single
     IEEE add + divide round identically on both engines."""
+    mod = total % _TWO53
+    recon = (total - mod).cast("double") + mod.cast("double")
+    return recon / scale if scale != 1.0 else recon
+
+
+def dec_to_double_sql(total: str, scale: str = "1000000.0") -> str:
+    """SQL twin of ``dec_to_double`` (dialect-shared)."""
+    recon = (
+        f"(CAST(({total}) - (({total}) % {_TWO53}) AS DOUBLE) "
+        f"+ CAST(({total}) % {_TWO53} AS DOUBLE))"
+    )
+    return f"{recon} / {scale}" if scale else recon
+
+
+def micro_total_to_double(fast: Column, wide: Column, scale: float = 1000000.0) -> Column:
+    """Combine a BIGINT hot-band sum and a DECIMAL(38,0) wide-band sum
+    (``wide`` non-NULL) into the final double value via the 2^53 split
+    (see ``dec_to_double``). ``scale`` is the quantization factor (1e6
+    for micro-unit devices, 1.0 for unit-scale devices)."""
     total = (
         F.coalesce(fast.cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)"))
         + wide
     )
-    mod = total % _TWO53
-    return ((total - mod).cast("double") + mod.cast("double")) / 1000000.0
+    return dec_to_double(total, scale)
 
 
 def dsum_expr(c: Column) -> Column:
@@ -165,7 +182,18 @@ def dsum_expr(c: Column) -> Column:
     )
 
 
-def dsum_sql(x: str, filter_sql: str = "") -> str:
+def wide_micro_sql(x: str) -> str:
+    """SQL twin of ``wide_micro`` (the per-row wide-band DECIMAL(38,0)
+    CASE), dialect-shared."""
+    return (
+        f"CASE WHEN ({x} {MID_SAFE_SQL}) AND NOT ({x} {MICRO_SAFE_SQL}) "
+        f"THEN CAST(floor({x} * 1000000 + 0.5) AS DECIMAL(38,0)) "
+        f"WHEN ({x} {WIDE_SAFE_SQL}) AND NOT ({x} {MID_SAFE_SQL}) "
+        f"THEN CAST(floor({x} + 0.5) AS DECIMAL(38,0)) * 1000000 END"
+    )
+
+
+def dsum_sql(x: str, filter_sql: str = "", over: str = "", distinct: bool = False) -> str:
     """SQL twin of ``dsum``, in the dialect SHARED by Spark and DuckDB so
     the same text serves both SQL-path queries and DuckDB oracles: BIGINT
     micro-unit sum on the hot band, DECIMAL(38,0)-combined micro/unit sum
@@ -174,32 +202,64 @@ def dsum_sql(x: str, filter_sql: str = "") -> str:
     DuckDB where Spark's floor silently saturates — same totality gap,
     opposite failure mode). ``filter_sql`` (e.g. ``"l_linestatus = 'F'"``)
     appends ``FILTER (WHERE ...)`` to every aggregate for pivot-style
-    conditional cells."""
+    conditional cells; ``over`` (e.g. ``"w"``) appends ``OVER w`` for the
+    window-frame form; ``distinct`` makes each band sum a DISTINCT sum
+    (the bands partition the value space, so per-band distinct sums add
+    up to the global distinct sum)."""
     f = f" FILTER (WHERE {filter_sql})" if filter_sql else ""
+    f += f" OVER {over}" if over else ""
+    d = "DISTINCT " if distinct else ""
     fast = (
-        f"sum(CASE WHEN ({x} {MICRO_SAFE_SQL}) THEN "
+        f"sum({d}CASE WHEN ({x} {MICRO_SAFE_SQL}) THEN "
         f"CAST(floor({x} * 1000000 + 0.5) AS BIGINT) END){f}"
     )
-    wide = (
-        f"sum(CASE WHEN ({x} {MID_SAFE_SQL}) AND NOT ({x} {MICRO_SAFE_SQL}) "
-        f"THEN CAST(floor({x} * 1000000 + 0.5) AS DECIMAL(38,0)) "
-        f"WHEN ({x} {WIDE_SAFE_SQL}) AND NOT ({x} {MID_SAFE_SQL}) "
-        f"THEN CAST(floor({x} + 0.5) AS DECIMAL(38,0)) * 1000000 END){f}"
-    )
+    wide = f"sum({d}{wide_micro_sql(x)}){f}"
     total = f"(COALESCE(CAST({fast} AS DECIMAL(38,0)), 0) + {wide})"
-    # decimal -> double via the 2^53 split (see dsum_expr): a direct
-    # CAST(total AS DOUBLE) is not correctly rounded in DuckDB past 2^53.
-    combined = (
-        f"(CAST({total} - ({total} % {_TWO53}) AS DOUBLE) "
-        f"+ CAST({total} % {_TWO53} AS DOUBLE)) / 1000000.0"
-    )
+    combined = dec_to_double_sql(total)
     return (
         f"CASE WHEN count(CASE WHEN NOT ({x} {WIDE_SAFE_SQL}) THEN 1 END){f} > 0 "
-        f"THEN sum({x}){f} "
+        f"THEN sum({d}{x}){f} "
         f"WHEN count(CASE WHEN ({x} {WIDE_SAFE_SQL}) "
         f"AND NOT ({x} {MICRO_SAFE_SQL}) THEN 1 END){f} > 0 "
         f"THEN {combined} "
         f"ELSE CAST({fast} AS BIGINT) / 1000000.0 END"
+    )
+
+
+def dround(c: Column, n: int) -> Column:
+    """Deterministic n-dp rounding of an ENGINE-IDENTICAL double.
+
+    round(x, n) is a parity landmine even when both engines hold the
+    identical double: Spark rounds via exact BigDecimal HALF_UP while
+    DuckDB scales in floating point, so a value within an ulp of a
+    halfway boundary flips between them (found twice by the seeded fuzz:
+    q_fn_math's cents, then ratio roundings). floor(x*10^n + 0.5) is the
+    same IEEE op sequence on both engines — deterministic, and exact
+    while the scaled value stays under 2^53; outside that band (which
+    also catches NaN/±Inf via BETWEEN) the double cannot resolve 10^-n
+    anyway and the raw value passes through.
+
+    Use ONLY where the input double is bit-identical across engines
+    (per-row scalars on stored values, ratios of exact integer/decimal
+    aggregates). Where the inputs may already differ by an ulp (IEEE
+    aggregate averages, corr, libm transcendentals), keep ``F.round`` —
+    no device can pin diverging inputs; the rounding quantum absorbs
+    the difference instead. Oracle twin: ``dround_sql``."""
+    scale = float(10**n)
+    bound = 9.0e15 / scale
+    return F.when(
+        c.between(-bound, bound), F.floor(c * scale + 0.5) / scale
+    ).otherwise(c)
+
+
+def dround_sql(x: str, n: int) -> str:
+    """SQL twin of ``dround`` (dialect-shared)."""
+    scale = float(10**n)
+    bound = 9.0e15 / scale
+    return (
+        f"CASE WHEN ({x}) BETWEEN -{bound!r} AND {bound!r} "
+        f"THEN CAST(floor(({x}) * {scale!r} + 0.5) AS BIGINT) / {scale!r} "
+        f"ELSE ({x}) END"
     )
 
 

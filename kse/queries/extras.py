@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kse.queries._util import dsum, micro_exact, r4, t
+from kse.queries._util import dec_to_double_sql, dround_sql, dsum, micro_exact, r4, t
 from kse.queries._util import dsum_sql as _DSUM
 from kse.registry import register
 
@@ -976,7 +976,7 @@ WITH monthly AS (
   FROM orders GROUP BY o_orderpriority, year(o_orderdate) * 12 + month(o_orderdate)
 )
 SELECT o_orderpriority, mi, n,
-       round((rev - lag(rev) OVER w) / lag(rev) OVER w, 6) AS rev_pct_change
+       {dround_sql('(rev - lag(rev) OVER w) / lag(rev) OVER w', 6)} AS rev_pct_change
 FROM monthly
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY mi NULLS FIRST)
 """,
@@ -996,6 +996,8 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY mi NULLS FIRST)
     ),
 )
 def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import dround
+
     o = t(spark, sf_dir, "orders")
     monthly = o.groupBy(
         "o_orderpriority",
@@ -1010,7 +1012,7 @@ def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "mi",
         "n",
-        F.round((F.col("rev") - prev) / prev, 6).alias("rev_pct_change"),
+        dround((F.col("rev") - prev) / prev, 6).alias("rev_pct_change"),
     )
 
 
@@ -1065,12 +1067,32 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_q(spark, sf_dir, _WINSORIZE_SPARK_SQL, ["events"])
 
 
+def _pareto_rev_sql() -> str:
+    """Oracle text for pareto's per-customer exact DECIMAL(38,0) revenue:
+    three-band micro units (hot + wide), with out-of-domain values
+    (NaN/Inf/|x| > 9e15) excluded DETERMINISTICALLY on both engines —
+    a plain-sum fallback would make the RANKING engine-dependent, and
+    the old unguarded device threw asymmetrically (Spark's floor
+    saturates where DuckDB's CAST rejects)."""
+    from kse.queries._util import MICRO_SAFE_SQL, wide_micro_sql
+
+    x = "o_totalprice"
+    hot = (
+        f"sum(CASE WHEN ({x} {MICRO_SAFE_SQL}) THEN "
+        f"CAST(floor({x} * 1000000 + 0.5) AS DECIMAL(38,0)) END)"
+    )
+    wide = f"sum({wide_micro_sql(x)})"
+    return (
+        f"CASE WHEN {hot} IS NULL AND {wide} IS NULL THEN NULL "
+        f"ELSE COALESCE({hot}, 0) + COALESCE({wide}, 0) END"
+    )
+
+
 @register(
     "q_agg_pareto",
-    oracle="""
+    oracle=f"""
 WITH rev AS (
-  SELECT o_custkey,
-         CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS r
+  SELECT o_custkey, {_pareto_rev_sql()} AS r
   FROM orders GROUP BY o_custkey
 ),
 ranked AS (
@@ -1082,28 +1104,43 @@ ranked AS (
   FROM rev
 )
 SELECT CAST(min(rn) AS BIGINT) AS n_top_customers,
-       CAST(max(tot) AS BIGINT) / 1000000.0 AS total_revenue,
+       {dec_to_double_sql('max(tot)')} AS total_revenue,
        CAST((SELECT count(*) FROM rev) AS BIGINT) AS n_customers
-FROM ranked WHERE cum >= 0.8 * tot
+FROM ranked WHERE cum * 5 >= tot * 4
 """,
     doc=(
         "Pareto concentration: the smallest number of customers whose "
         "revenue covers 80% of the total — the skew diagnostic behind "
         "salting and tiering decisions, and a classic business metric. "
         "The corpus-sized work is the per-customer revenue aggregation "
-        "(exact scaled-integer sums); the ordered cum-share window runs "
-        "over one row per CUSTOMER — the aggregated table, orders of "
-        "magnitude under the fact table it summarizes (same budget call "
-        "as the vocabulary and bucket-offset windows; at extreme "
-        "customer counts the distributed prefix sum applies)."
+        "(exact DECIMAL(38,0) micro units — hot + wide bands, with "
+        "non-finite/absorption values deterministically excluded, since "
+        "an IEEE fallback would make the RANK ORDER engine-dependent); "
+        "the 80% threshold compares exactly as cum*5 >= tot*4 in "
+        "decimal (0.8*tot in double would round at the boundary), and "
+        "the only double conversion is the final display total via the "
+        "2^53 split. The ordered cum-share window runs over one row per "
+        "CUSTOMER — the aggregated table, orders of magnitude under the "
+        "fact table it summarizes (same budget call as the vocabulary "
+        "and bucket-offset windows; at extreme customer counts the "
+        "distributed prefix sum applies)."
     ),
 )
 def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import dec_to_double, wide_micro
+
     o = t(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(
-        F.sum(F.floor(F.col("o_totalprice") * 1000000.0 + 0.5)).cast("bigint").alias("r")
+    p = F.col("o_totalprice")
+    hot = F.sum(
+        F.when(micro_exact(p), F.floor(p * 1000000.0 + 0.5)).cast("decimal(38,0)")
     )
-    w = Window.orderBy(F.col("r").desc(), F.col("o_custkey"))
+    wide = F.sum(wide_micro(p))
+    zero = F.lit(0).cast("decimal(38,0)")
+    r_dec = F.when(hot.isNull() & wide.isNull(), F.lit(None)).otherwise(
+        F.coalesce(hot, zero) + F.coalesce(wide, zero)
+    )
+    rev = o.groupBy("o_custkey").agg(r_dec.alias("r"))
+    w = Window.orderBy(F.col("r").desc_nulls_last(), F.col("o_custkey"))
     ranked = rev.select(
         "r",
         F.row_number().over(w).alias("rn"),
@@ -1112,10 +1149,10 @@ def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_cust = rev.agg(F.count("*").cast("bigint").alias("n_customers"))
     return (
-        ranked.filter(F.col("cum") >= 0.8 * F.col("tot"))
+        ranked.filter(F.col("cum") * 5 >= F.col("tot") * 4)
         .agg(
             F.min("rn").cast("bigint").alias("n_top_customers"),
-            (F.max("tot").cast("bigint") / 1000000.0).alias("total_revenue"),
+            dec_to_double(F.max("tot")).alias("total_revenue"),
         )
         .crossJoin(F.broadcast(n_cust))
     )
@@ -1731,20 +1768,42 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
     )
 
 
+def _all_decimal_dev_sql(x: str) -> str:
+    """Oracle twin of q_agg_groupby_wide's all-DECIMAL device: hot band
+    micro-units accumulate in DECIMAL(38,0) directly (exact past 2^53
+    micro-units — the query's raison d'être), wide finite band via
+    wide_micro, plain IEEE for NaN/Inf/absorption groups; every decimal
+    total converts to double through the 2^53 split (a plain CAST was
+    the latent bug this device existed to avoid but still had: DuckDB's
+    int128->double cast misrounds past 2^53 — _util.dec_to_double)."""
+    from kse.queries._util import (
+        MICRO_SAFE_SQL,
+        WIDE_SAFE_SQL,
+        dec_to_double_sql,
+        wide_micro_sql,
+    )
+
+    hot = (
+        f"sum(CASE WHEN ({x} {MICRO_SAFE_SQL}) THEN "
+        f"CAST(floor({x} * 1000000 + 0.5) AS DECIMAL(38,0)) END)"
+    )
+    wide = f"sum({wide_micro_sql(x)})"
+    return (
+        f"CASE WHEN count(CASE WHEN NOT ({x} {WIDE_SAFE_SQL}) THEN 1 END) > 0 "
+        f"THEN sum({x}) "
+        f"WHEN count(CASE WHEN ({x} {WIDE_SAFE_SQL}) "
+        f"AND NOT ({x} {MICRO_SAFE_SQL}) THEN 1 END) > 0 "
+        f"THEN {dec_to_double_sql(f'(COALESCE({hot}, 0) + {wide})')} "
+        f"ELSE {dec_to_double_sql(hot)} END"
+    )
+
+
 @register(
     "q_agg_groupby_wide",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       CASE WHEN count(CASE WHEN NOT (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
-            THEN sum(l_extendedprice)
-            ELSE CAST(sum(CASE WHEN (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN
-                   CAST(floor(l_extendedprice * 1000000 + 0.5) AS HUGEINT) END) AS DOUBLE)
-                 / 1000000.0 END AS sum_base_price,
-       CASE WHEN count(CASE WHEN NOT (l_extendedprice * (1 - l_discount) BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
-            THEN sum(l_extendedprice * (1 - l_discount))
-            ELSE CAST(sum(CASE WHEN (l_extendedprice * (1 - l_discount) BETWEEN -9000000000.0 AND 9000000000.0) THEN
-                   CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
-                        AS HUGEINT) END) AS DOUBLE) / 1000000.0 END AS sum_disc_price,
+       {_all_decimal_dev_sql('l_extendedprice')} AS sum_base_price,
+       {_all_decimal_dev_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -1755,10 +1814,11 @@ GROUP BY l_returnflag, l_linestatus
         "(_util.dsum) is exact while a group's total stays under 2^63 "
         "micro-units and round-trips through the final double division "
         "under 2^53 (~$9.2e9/group at 6 dp); a 100 TB group can exceed "
-        "both. Here the micro-units accumulate in DECIMAL(38,0) (Spark) "
-        "/ HUGEINT (DuckDB) — exact to 1e38, i.e. ~$1e32 per group — and "
-        "only the FINAL exact total converts to double, so both engines "
-        "round the same single integer and the hash gate still applies. "
+        "both. Here the micro-units accumulate in DECIMAL(38,0) on both "
+        "engines — exact to 1e38, i.e. ~$1e32 per group — and only the "
+        "FINAL exact total converts to double, through the 2^53 split "
+        "(DuckDB's int128->double cast misrounds past 2^53), so both "
+        "engines produce the identical double and the hash gate applies. "
         "Cost: decimal aggregation runs outside the primitive-long fast "
         "path (~2x on the sum operator itself, profiled in _util.dsum's "
         "note), but measured END-TO-END at the 10x tier the wide form "
@@ -1771,15 +1831,35 @@ GROUP BY l_returnflag, l_linestatus
 def q_agg_groupby_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
 
+    from kse.queries._util import (
+        dec_to_double,
+        in_wide_band,
+        out_of_domain,
+        wide_micro,
+    )
+
     def wide_sum(c, alias):
-        # finite-guarded like _util.dsum: floor silently saturates Inf /
-        # zeroes NaN before the decimal cast, so non-finite groups fall
-        # back to the plain IEEE sum on both engines
-        micro = F.when(micro_exact(c), F.floor(c * 1000000.0 + 0.5)).cast("decimal(38,0)")
-        n_unsafe = F.count(F.when(~micro_exact(c), F.lit(1)))
+        # all-DECIMAL three-band device (_all_decimal_dev_sql is the
+        # oracle twin): hot-band micro-units accumulate in DECIMAL(38,0)
+        # directly — exact past 2^53 micro-units, which is this query's
+        # reason to exist — wide finite band via wide_micro, plain IEEE
+        # for NaN/Inf/absorption groups. All decimal->double conversions
+        # go through the 2^53 split (_util.dec_to_double).
+        hot = F.sum(
+            F.when(micro_exact(c), F.floor(c * 1000000.0 + 0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        wide = F.sum(wide_micro(c))
         return (
-            F.when(n_unsafe > 0, F.sum(c))
-            .otherwise(F.sum(micro).cast("double") / 1000000.0)
+            F.when(F.count(F.when(out_of_domain(c), F.lit(1))) > 0, F.sum(c))
+            .when(
+                F.count(F.when(in_wide_band(c), F.lit(1))) > 0,
+                dec_to_double(
+                    F.coalesce(hot, F.lit(0).cast("decimal(38,0)")) + wide
+                ),
+            )
+            .otherwise(dec_to_double(hot))
             .alias(alias)
         )
 

@@ -798,34 +798,44 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_distinct",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS n_parts,
        count(DISTINCT l_suppkey) AS n_supps,
-       CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
-            THEN sum(DISTINCT l_quantity)
-            ELSE CAST(sum(DISTINCT CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) / 1000000.0 END AS sum_dist_qty
+       {_DSUM("l_quantity", distinct=True)} AS sum_dist_qty
 FROM lineitem GROUP BY l_returnflag
 """,
     doc="COUNT/SUM DISTINCT (expand+two-phase aggregate under the hood; "
-    "prefer approx_count_distinct at 100 TB — see q_agg_approx_distinct).",
+    "prefer approx_count_distinct at 100 TB — see q_agg_approx_distinct). "
+    "The distinct sum runs the full three-band dsum device with DISTINCT "
+    "per band: the bands partition the value space, so per-band distinct "
+    "sums add up to the global distinct sum; the plain branch is "
+    "propagation-dominant (a non-finite distinct set sums to ±Inf/NaN "
+    "identically on both engines).",
 )
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import (
+        in_wide_band,
+        micro_total_to_double,
+        out_of_domain,
+        wide_micro,
+    )
+
     li = t(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
+    fast = F.sum_distinct(F.when(micro_exact(q), F.floor(q * 1000000.0 + 0.5)))
+    wide = F.sum_distinct(wide_micro(q))
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
-        # finite-guarded micro distinct-sum (see _util.dsum); the plain
-        # branch is order-independent too: a non-finite distinct set sums
-        # to ±Inf/NaN identically on both engines
         F.when(
-            F.count(F.when(~micro_exact(q), F.lit(1))) > 0, F.sum_distinct(q)
+            F.count(F.when(out_of_domain(q), F.lit(1))) > 0, F.sum_distinct(q)
         )
-        .otherwise(
-            F.sum_distinct(F.when(micro_exact(q), F.floor(q * 1000000.0 + 0.5)))
-            / 1000000.0
+        .when(
+            F.count(F.when(in_wide_band(q), F.lit(1))) > 0,
+            micro_total_to_double(fast, wide),
         )
+        .otherwise(fast / 1000000.0)
         .alias("sum_dist_qty"),
     )
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kse.queries._util import dsum, dsum_expr, dsum_sql, micro_exact, t
+from kse.queries._util import dround_sql, dsum, dsum_expr, dsum_sql, micro_exact, t
 from kse.registry import register
 
 # oracle twin of _util.dsum, generated from the single source of truth
@@ -37,6 +37,39 @@ from kse.registry import register
 _MICRO = dsum_sql("{x}")
 
 _REV = _MICRO.format(x="l_extendedprice * (1 - l_discount)")
+
+
+def _trunc_qty_sql(x: str) -> str:
+    """Three-band TRUNCATING unit-scale sum device for l_quantity (q1's
+    sum_qty uses floor, not round: CAST(double AS BIGINT) truncates in
+    Spark but rounds in DuckDB). Hot band sums BIGINT floor(x); the wide
+    finite band (9e9..9e15, where floor still fits BIGINT per value but
+    the group total may not) sums DECIMAL(38,0); NaN/Inf/absorption
+    groups take the plain IEEE sum. Unified to DOUBLE output across
+    branches via the 2^53 split (see _util.dec_to_double_sql)."""
+    from kse.queries._util import (
+        MICRO_SAFE_SQL,
+        WIDE_SAFE_SQL,
+        dec_to_double_sql,
+    )
+
+    fast = (
+        f"sum(CASE WHEN ({x} {MICRO_SAFE_SQL}) THEN "
+        f"CAST(floor({x}) AS BIGINT) END)"
+    )
+    wide = (
+        f"sum(CASE WHEN ({x} {WIDE_SAFE_SQL}) AND NOT ({x} {MICRO_SAFE_SQL}) "
+        f"THEN CAST(floor({x}) AS DECIMAL(38,0)) END)"
+    )
+    total = f"(COALESCE(CAST({fast} AS DECIMAL(38,0)), 0) + {wide})"
+    return (
+        f"CASE WHEN count(CASE WHEN NOT ({x} {WIDE_SAFE_SQL}) THEN 1 END) > 0 "
+        f"THEN sum({x}) "
+        f"WHEN count(CASE WHEN ({x} {WIDE_SAFE_SQL}) "
+        f"AND NOT ({x} {MICRO_SAFE_SQL}) THEN 1 END) > 0 "
+        f"THEN {dec_to_double_sql(total, scale='')} "
+        f"ELSE CAST(CAST({fast} AS BIGINT) AS DOUBLE) END"
+    )
 
 
 def _rev(alias: str) -> F.Column:
@@ -259,10 +292,10 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_tpch_q8",
-    oracle="""
+    oracle=f"""
 WITH base AS (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT) AS vol,
+         l_extendedprice * (1 - l_discount) AS rev,
          n2.n_name AS supp_nation
   FROM part
   JOIN lineitem ON p_partkey = l_partkey
@@ -273,25 +306,27 @@ WITH base AS (
   JOIN region ON n1.n_regionkey = r_regionkey
   JOIN nation n2 ON s_nationkey = n2.n_nationkey
   WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+),
+agg AS (
+  SELECT o_year,
+         {_MICRO.format(x="CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END")} AS nation_vol,
+         {_MICRO.format(x='rev')} AS total_vol
+  FROM base GROUP BY o_year
 )
-SELECT o_year,
-       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT)
-         AS nation_vol,
-       CAST(sum(vol) AS BIGINT) AS total_vol,
-       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS DOUBLE)
-             / sum(vol), 6) AS mkt_share
-FROM base GROUP BY o_year
+SELECT o_year, nation_vol, total_vol,
+       {dround_sql('nation_vol / total_vol', 6)} AS mkt_share
+FROM agg
 """,
     doc=(
         "TPC-H Q8 (national market share), adapted: NATION_3's share of "
         "AMERICA-region ECONOMY-type revenue by order year (testdata "
-        "names; no partsupp so supplier joins via lineitem only). The "
-        "share is a conditional-sum / total-sum ratio computed in ONE "
-        "aggregation pass over integer micro-unit volumes — exact "
-        "numerator and denominator, so the rounded ratio is bit-stable "
-        "across engines. Part, customer-nation-region, and "
-        "supplier-nation all broadcast; lineitem-orders is the only "
-        "fact-fact shuffle."
+        "names; no partsupp so supplier joins via lineitem only). Both "
+        "sums run the full three-band dsum device in one aggregation "
+        "pass (exact numerator and denominator at value scale), and the "
+        "share is dround-ed — floor-device rounding of the engine-"
+        "identical ratio, since round() itself can flip at halfway "
+        "boundaries. Part, customer-nation-region, and supplier-nation "
+        "all broadcast; lineitem-orders is the only fact-fact shuffle."
     ),
 )
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,11 +344,13 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n1.join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)),
         c.c_nationkey == n1.n_nationkey,
     )
-    vol = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000.0 + 0.5
+    from kse.queries._util import dround
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = dsum_expr(
+        F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
     )
-    nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)))
-    total_vol = F.sum(vol)
+    total_vol = dsum_expr(rev)
     return (
         F.broadcast(p)
         .join(li, p.p_partkey == li.l_partkey)
@@ -325,7 +362,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             nation_vol.alias("nation_vol"),
             total_vol.alias("total_vol"),
-            F.round(nation_vol.cast("double") / total_vol, 6).alias("mkt_share"),
+            dround(nation_vol / total_vol, 6).alias("mkt_share"),
         )
     )
 
@@ -374,22 +411,25 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_tpch_q14",
-    oracle="""
-SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
-           THEN CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)
-           ELSE 0 END) AS DOUBLE)
-       / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)),
-       6) AS promo_revenue_pct
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+    oracle=f"""
+WITH agg AS (
+  SELECT {_MICRO.format(x="CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS promo_rev,
+         {_MICRO.format(x='l_extendedprice * (1 - l_discount)')} AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+)
+SELECT {dround_sql('100.0 * (promo_rev / total_rev)', 6)} AS promo_revenue_pct
+FROM agg
 """,
     doc=(
         "TPC-H Q14 (promotion effect), standard shape: percentage of one "
         "month's revenue from PROMO-type parts (testdata's p_type domain "
         "is single words, so the LIKE 'PROMO%' of the spec degenerates to "
         "equality). Part broadcasts into the month-filtered lineitem "
-        "scan; conditional and total sums run in the same exact "
-        "integer-unit aggregation pass; one output row."
+        "scan; conditional and total sums run the full three-band dsum "
+        "device in the same aggregation pass, and the percentage is "
+        "dround-ed (floor-device rounding of the engine-identical "
+        "ratio); one output row."
     ),
 )
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,16 +437,15 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
     )
     p = t(spark, sf_dir, "part")
-    vol = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000.0 + 0.5
-    )
-    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)))
+    from kse.queries._util import dround
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = dsum_expr(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+    total = dsum_expr(rev)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(100.0 * promo.cast("double") / F.sum(vol), 6).alias(
-                "promo_revenue_pct"
-            )
+            dround(F.lit(100.0) * (promo / total), 6).alias("promo_revenue_pct")
         )
     )
 
@@ -556,15 +595,11 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q1",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
-            THEN sum(l_quantity)
-            ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT) END AS sum_qty,
+       {_trunc_qty_sql('l_quantity')} AS sum_qty,
        {_MICRO.format(x='l_extendedprice')} AS sum_base_price,
        {_MICRO.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
        {_MICRO.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-       (CASE WHEN count(CASE WHEN NOT (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) > 0
-             THEN sum(l_quantity)
-             ELSE CAST(sum(CASE WHEN (l_quantity BETWEEN -9000000000.0 AND 9000000000.0) THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT) END) / CAST(count(*) AS BIGINT) AS avg_qty,
+       ({_trunc_qty_sql('l_quantity')}) / CAST(count(*) AS BIGINT) AS avg_qty,
        ({_MICRO.format(x='l_extendedprice')}) / CAST(count(*) AS BIGINT) AS avg_price,
        ({_MICRO.format(x='l_discount')}) / CAST(count(*) AS BIGINT) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
@@ -590,13 +625,28 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
     cnt = F.count(F.lit(1))
     lq = F.col("l_quantity")
+    from kse.queries._util import (
+        in_wide_band,
+        micro_total_to_double,
+        out_of_domain,
+    )
+
     # floor, not cast: CAST(double AS BIGINT) truncates in Spark but
     # rounds in DuckDB (q_fn_cast's documented trap) — floor agrees on
-    # both engines for the non-negative quantities. Finite-guarded like
-    # _util.dsum (floor silently saturates Inf / zeroes NaN).
-    qty = F.when(
-        F.count(F.when(~micro_exact(lq), F.lit(1))) > 0, F.sum(lq)
-    ).otherwise(F.sum(F.when(micro_exact(lq), F.floor(lq))))
+    # both engines for the non-negative quantities. Full three-band
+    # device at UNIT scale (_trunc_qty_sql is the oracle twin): hot-band
+    # BIGINT floor, DECIMAL(38,0) wide band, plain IEEE for
+    # NaN/Inf/absorption groups; branches unify to DOUBLE.
+    qty_fast = F.sum(F.when(micro_exact(lq), F.floor(lq)))
+    qty_wide = F.sum(F.when(in_wide_band(lq), F.floor(lq).cast("decimal(38,0)")))
+    qty = (
+        F.when(F.count(F.when(out_of_domain(lq), F.lit(1))) > 0, F.sum(lq))
+        .when(
+            F.count(F.when(in_wide_band(lq), F.lit(1))) > 0,
+            micro_total_to_double(qty_fast, qty_wide, scale=1.0),
+        )
+        .otherwise(qty_fast.cast("double"))
+    )
     price_g = dsum_expr(F.col("l_extendedprice"))
     disc_g = dsum_expr(F.col("l_discount"))
     return (

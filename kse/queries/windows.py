@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kse.queries._util import micro_exact, t, ts_us
+from kse.queries._util import dsum_sql as _DSUM
 from kse.registry import register
 
 
@@ -128,13 +129,9 @@ def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_win_sliding_frame",
-    oracle="""
+    oracle=f"""
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       (CASE WHEN count(CASE WHEN NOT (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0) THEN 1 END) OVER w > 0
-             THEN sum(l_extendedprice) OVER w
-             ELSE CAST(sum(CASE WHEN (l_extendedprice BETWEEN -9000000000.0 AND 9000000000.0)
-                                THEN CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT) END)
-                       OVER w AS BIGINT) / 1000000.0 END)
+       ({_DSUM("l_extendedprice", over="w")})
          / (count(*) OVER w) AS mov_avg
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey
@@ -166,14 +163,27 @@ def q_win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(-2, Window.currentRow)
     )
+    from kse.queries._util import (
+        in_wide_band,
+        micro_total_to_double,
+        out_of_domain,
+        wide_micro,
+    )
+
     e = F.col("l_extendedprice")
-    # finite-guarded micro frame-sum (see _util.dsum): a frame holding
-    # any Inf/NaN uses the plain IEEE sum on both engines (the result is
-    # ±Inf/NaN regardless of the engine's frame accumulation strategy)
-    nf = F.count(F.when(~micro_exact(e), F.lit(1))).over(w)
+    # the full three-band dsum device over the frame (see _util.dsum): a
+    # frame holding any Inf/NaN/absorption value uses the plain IEEE sum
+    # on both engines (the result is ±Inf/NaN regardless of the engine's
+    # frame accumulation strategy), finite 9e9..9e15 values go through
+    # the exact DECIMAL(38,0) wide band
+    nbad = F.count(F.when(out_of_domain(e), F.lit(1))).over(w)
+    nwide = F.count(F.when(in_wide_band(e), F.lit(1))).over(w)
     msum = F.sum(F.when(micro_exact(e), F.floor(e * 1000000.0 + 0.5))).over(w)
-    frame_sum = F.when(nf > 0, F.sum(e).over(w)).otherwise(
-        msum / F.lit(1000000.0)
+    wsum = F.sum(wide_micro(e)).over(w)
+    frame_sum = (
+        F.when(nbad > 0, F.sum(e).over(w))
+        .when(nwide > 0, micro_total_to_double(msum, wsum))
+        .otherwise(msum / F.lit(1000000.0))
     )
     return li.select(
         "l_suppkey",

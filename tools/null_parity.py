@@ -126,9 +126,14 @@ TIMES_EXPECTED_DIVERGENCE: dict[str, str] = {}
 
 # Seeded-random fuzz mode (--rand, optionally --seed=N): every non-key
 # column drawn from a seeded hash of (seed, table, column, row) — finite,
-# micro-exact doubles across ±1e6, mixed-sign integers, random short
+# micro-exact doubles across ±1e6 plus a 1/16 wide-band/boundary slice
+# (finite 9e9..9e15 magnitudes, exact band edges, micro-.5 halfway
+# points — the three-band device and dround domains; round 6 addition),
+# mixed-sign integers, random short
 # token strings (incl. empty), millisecond-precision timestamps across
-# 1990-2005, randomized vectors — with ~25% NULLs interleaved. The
+# 1990-2005, randomized vectors — with ~25% NULLs interleaved. Both
+# engines rejecting an input identically-in-kind counts as parity (a
+# wide draw can hit a legitimate reject line, e.g. INT casts). The
 # structured modes each isolate ONE adversarial axis; this mode probes
 # the INTERACTIONS (SQLancer-style differential fuzzing: random data,
 # two engines, any disagreement is a bug in one of them). Different
@@ -153,6 +158,25 @@ def _rand_value(dtype, r: int):
     if isinstance(dtype, (T.LongType, T.IntegerType)):
         return (r % 2_000_001) - 1_000_000
     if isinstance(dtype, T.DoubleType):
+        if r % 16 == 7:
+            # wide/boundary slice (1/16 of draws): finite magnitudes in
+            # the DECIMAL(38,0) wide band (9e9..9e15), its exact edges,
+            # and micro-quantization halfway points — the domains the
+            # three-band dsum devices and dround own. NaN/Inf stay the
+            # extreme mode's property: here every value is finite, so a
+            # divergence is a device bug, not a reject-line difference.
+            sel = (r // 16) % 8
+            m = (r // 128) % 1000 + 1
+            return [
+                9.0e9 * (1 + m / 1000.0),    # mid band, just above hot
+                -(9.0e9 + m * 1.0e7),        # negative mid band
+                9.0e12 * (1 + m / 1000.0),   # unit band, above mid bound
+                -(9.0e12 + m * 1.0e10),      # negative unit band
+                8.9e15 - m * 1.0e9,          # near the wide ceiling
+                9.0e9,                       # exact hot/mid edge
+                -9.0e12,                     # exact mid/unit edge
+                m * 1000 + 0.0000005,        # micro .5 halfway point
+            ][sel]
         # milli-precision in ±1e6: micro-unit quantization stays exact
         return ((r % 2_000_000_001) / 1e3) - 1_000_000.0
     if isinstance(dtype, T.StringType):
@@ -419,9 +443,12 @@ def main() -> int:
                 n_skip += 1
                 continue
             oracle = q.oracle or q.check_oracle
-            if extreme or times:
-                # extreme/times contract: both engines rejecting the
-                # input identically-in-kind (each raises) is parity
+            if extreme or times or rand:
+                # extreme/times/rand contract: both engines rejecting the
+                # input identically-in-kind (each raises) is parity —
+                # under rand, a wide-band draw can legitimately hit a
+                # reject line (e.g. an INT cast of a 1e13 quantity throws
+                # on both engines); a ONE-sided throw is still a failure
                 s_exc = d_exc = None
                 spark_pdf = duck_pdf = None
                 try:
@@ -473,7 +500,7 @@ def main() -> int:
             else "neg" if neg else "xtreme" if extreme
             else "times" if times else f"rand(seed={seed})" if rand else "null"
         )
-        extra = f", {n_both_reject} both-reject" if (extreme or times) else ""
+        extra = f", {n_both_reject} both-reject" if (extreme or times or rand) else ""
         print(
             f"\n== {mode_name}-parity: "
             f"{n_pass} ok, {len(unexpected)} unexpected "
