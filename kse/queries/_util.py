@@ -278,3 +278,37 @@ def ts_us(c: Column) -> Column:
     ``epoch_us``. Session timezone is pinned to UTC (kse.session) so the
     NTZ -> instant interpretation is identical."""
     return F.unix_micros(c.cast("timestamp"))
+
+
+def grand_total_if_empty(
+    src: DataFrame, out: DataFrame, literals: dict[str, Column]
+) -> DataFrame:
+    """SQL-standard empty-input grand total for grouping-sets shapes.
+
+    ``GROUP BY GROUPING SETS (..., ())`` / ``ROLLUP`` / ``CUBE`` over an
+    EMPTY relation must still emit the ``()`` grouping's row — the empty
+    grouping set is a global aggregate, and a global aggregate over zero
+    rows is one row (count 0, NULL sums). DuckDB and Postgres do; Spark's
+    Expand-based implementation returns ZERO rows (zero-row parity battery
+    find, round 6 — a rollup over a fully-filtered 100 TB partition would
+    silently lose its grand-total row).
+
+    The ``()`` row over empty input is fully determined a priori — NULL
+    group keys, ``grouping() = 1`` flags, ``count = 0``, NULL sums — so no
+    second pass over the data is needed: the guard aggregates ``count(1)``
+    over a zero-column projection of ``src`` (column-pruned scan, footer
+    row-counts only) and the WHERE filters the literal row away whenever
+    the input is non-empty. ``literals`` supplies the non-NULL positions
+    (grouping flags, zero counts, pinned scope labels); every other output
+    column is a typed NULL.
+    """
+    guard = (
+        src.groupBy()
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == 0)
+    )
+    cols = [
+        literals.get(f.name, F.lit(None)).cast(f.dataType).alias(f.name)
+        for f in out.schema.fields
+    ]
+    return out.unionByName(guard.select(*cols))

@@ -18,7 +18,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kse.queries._util import dsum, micro_exact, r4, r6, sql_q, t
+from kse.queries._util import (
+    dsum,
+    grand_total_if_empty,
+    micro_exact,
+    r4,
+    r6,
+    sql_q,
+    t,
+)
 from kse.queries._util import dsum_sql as _DSUM
 from kse.registry import register
 
@@ -928,7 +936,7 @@ FROM events
 )
 def q_agg_sketch_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    return (
+    out = (
         e.rollup("event_type")
         # grouping(), not coalesce: a data-NULL event_type group must keep
         # scope NULL (matching the oracle's GROUP BY) — only the rollup
@@ -943,6 +951,11 @@ def q_agg_sketch_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("scope"),
             "n_users",
         )
+    )
+    # the oracle's UNION ALL global leg emits ('__all__', 0) even over an
+    # empty relation; Spark's rollup drops it (zero-row battery find).
+    return grand_total_if_empty(
+        e, out, {"scope": F.lit("__all__"), "n_users": F.lit(0)}
     )
 
 
@@ -1067,7 +1080,18 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     "both dialects).",
 )
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_q(spark, sf_dir, _GROUPING_SETS_SQL, ["orders"])
+    out = sql_q(spark, sf_dir, _GROUPING_SETS_SQL, ["orders"])
+    # SQL-standard (): one grand-total row even over an empty relation —
+    # Spark's Expand drops it, DuckDB keeps it (zero-row battery find).
+    return grand_total_if_empty(
+        t(spark, sf_dir, "orders"),
+        out,
+        {
+            "g_status": F.lit(1),
+            "g_prio": F.lit(1),
+            "n": F.lit(0),
+        },
+    )
 
 
 @register(
@@ -1083,11 +1107,15 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    out = li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
         F.count("*").alias("n"),
         dsum(F.col("l_quantity"), "sum_qty"),
+    )
+    # SQL-standard ROLLUP (): keep the grand-total row on empty input.
+    return grand_total_if_empty(
+        li, out, {"g_flag": F.lit(1), "g_status": F.lit(1), "n": F.lit(0)}
     )
 
 
@@ -1102,9 +1130,11 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
+    out = o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"), dsum(F.col("o_totalprice"), "sum_price")
     )
+    # SQL-standard CUBE (): keep the grand-total row on empty input.
+    return grand_total_if_empty(o, out, {"n": F.lit(0)})
 
 
 @register(

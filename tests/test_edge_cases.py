@@ -314,3 +314,67 @@ def test_ewma_null_ts_fold_order_aligned_across_all_three(spark, tmp_path):
     duck = con.execute(_EWMA_ORACLE).df()
     assert not check.compare(jvm, duck), check.compare(jvm, duck)
     assert not check.compare(pan, duck), check.compare(pan, duck)
+
+
+def test_grouping_sets_emit_grand_total_on_empty_input(spark, tmp_path):
+    """SQL-standard (): GROUPING SETS/ROLLUP/CUBE over an EMPTY relation
+    still emit the empty grouping set's row — GROUP BY () is a global
+    aggregate, and a global aggregate over zero rows is one row (count 0,
+    NULL sums). DuckDB and Postgres do; Spark's Expand-based plan returns
+    zero rows (zero-row parity battery find, round 6). The
+    grand_total_if_empty guard appends the fully-determined () row; this
+    pin asserts both legs: exactly one all-NULL-keys row on empty input,
+    and NO phantom extra row on non-empty input."""
+    from kse.catalog import SCHEMAS
+    from kse.queries.relational import (
+        q_agg_cube,
+        q_agg_grouping_sets,
+        q_agg_rollup,
+        q_agg_sketch_merge_exact,
+    )
+
+    sf_dir = tmp_path / "gs_empty"
+    sf_dir.mkdir()
+    for name in ("orders", "lineitem", "events"):
+        spark.createDataFrame([], SCHEMAS[name]).write.parquet(
+            str(sf_dir / f"{name}.parquet")
+        )
+
+    gs = q_agg_grouping_sets(spark, str(sf_dir)).collect()
+    assert len(gs) == 1
+    assert (gs[0]["o_orderstatus"], gs[0]["o_orderpriority"]) == (None, None)
+    assert (gs[0]["g_status"], gs[0]["g_prio"], gs[0]["n"]) == (1, 1, 0)
+    assert gs[0]["sum_price"] is None
+
+    ru = q_agg_rollup(spark, str(sf_dir)).collect()
+    assert len(ru) == 1
+    assert (ru[0]["g_flag"], ru[0]["g_status"], ru[0]["n"]) == (1, 1, 0)
+    assert ru[0]["sum_qty"] is None
+
+    cu = q_agg_cube(spark, str(sf_dir)).collect()
+    assert len(cu) == 1 and cu[0]["n"] == 0 and cu[0]["sum_price"] is None
+
+    sm = q_agg_sketch_merge_exact(spark, str(sf_dir)).collect()
+    assert len(sm) == 1
+    assert (sm[0]["scope"], sm[0]["n_users"]) == ("__all__", 0)
+
+    # non-empty leg: the guard row must filter away (3 orders rows ->
+    # cube over 2 distinct statuses x 2 priorities has no extra NULL row
+    # beyond the genuine subtotal ones; total row count pins exactness)
+    import datetime as dt
+
+    sf2 = tmp_path / "gs_nonempty"
+    sf2.mkdir()
+    orows = [
+        (1, 1, "O", 10.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 2, "F", 20.0, dt.datetime(2024, 1, 2), "1-URGENT"),
+        (3, 3, "O", 30.0, dt.datetime(2024, 1, 3), "2-HIGH"),
+    ]
+    spark.createDataFrame(orows, SCHEMAS["orders"]).write.parquet(
+        str(sf2 / "orders.parquet")
+    )
+    cu2 = q_agg_cube(spark, str(sf2)).collect()
+    # groups: (O,1U) (F,1U) (O,2H) + rollups (O,·)(F,·)(·,1U)(·,2H) + (·,·)
+    assert len(cu2) == 8
+    totals = [r for r in cu2 if r["o_orderstatus"] is None and r["o_orderpriority"] is None]
+    assert len(totals) == 1 and totals[0]["n"] == 3

@@ -9,6 +9,16 @@ data actually has), then runs the full oracle comparison from
 tools/check.py against the planted directory.
 
 Run: python tools/null_parity.py [n_rows]          # NULL mode (default 8 rows)
+     python tools/null_parity.py 0                 # zero-row mode: EVERY table
+                                                   # empty — data-derived spines,
+                                                   # empty aggregates, the SQL-
+                                                   # standard () grand-total row
+                                                   # (first run found Spark's
+                                                   # Expand dropping it in all 4
+                                                   # grouping-sets shapes)
+     python tools/null_parity.py 1                 # singleton mode: one row per
+                                                   # table (degenerate windows,
+                                                   # self-joins, stddev of n=1)
      python tools/null_parity.py --ties [n_rows]   # tie mode: every value column
                                                    # CONSTANT, so every ordering,
                                                    # arg-extreme, and top-k ties
