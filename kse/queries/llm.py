@@ -2025,12 +2025,18 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_sample_stratified",
     doc=(
         "Stratified sampling by source — the data-mixing op of a training "
-        "pipeline (upweight curated sources, downsample crawl): "
-        "df.sampleBy('source', fractions, seed). Per-row Bernoulli against "
-        "a seeded hash, no shuffle, embarrassingly parallel at 100 TB. "
-        "rows-only (seeded sampling differs across engines by design); the "
-        "pytest asserts per-stratum rates land in tolerance and the draw "
-        "is reproducible for a fixed seed."
+        "pipeline (upweight curated sources, downsample crawl). The draw "
+        "is a TRUE per-row Bernoulli against a seeded hash of the row's "
+        "key: keep iff xxhash64(doc_id, seed) mod 1e6 < fraction·1e6. "
+        "No shuffle, embarrassingly parallel, and — unlike Spark's "
+        "df.sampleBy, whose seeded RNG streams are per-PARTITION and so "
+        "re-draw a different sample under every repartitioning (caught by "
+        "tools/layout_invariance.py) — the selected set is a pure function "
+        "of the data: the same shards come out of 1 file or 10,000 files, "
+        "which is what makes a 100 TB training mix reproducible. "
+        "rows-only (the hash stream has no DuckDB twin); the pytest "
+        "asserts per-stratum rates land in tolerance, the draw is "
+        "reproducible, and the audit holds it layout-invariant."
     ),
 )
 def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2041,7 +2047,13 @@ def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"src{i}": (1.0 if i % 4 == 0 else 0.5 if i % 2 == 0 else 0.25)
         for i in range(20)
     }
-    sampled = d.sampleBy("source", fractions, seed=42)
+    frac_map = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )
+    u = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(42)), F.lit(1_000_000))
+    sampled = d.where(
+        u < F.coalesce(frac_map[F.col("source")], F.lit(0.0)) * 1_000_000
+    )
     return sampled.groupBy("source").agg(F.count("*").alias("n_sampled"))
 
 

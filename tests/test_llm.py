@@ -221,8 +221,11 @@ def test_embed_quantize_error_bound(spark):
 
 
 def test_stratified_sample_rates_and_reproducibility(spark):
-    """sampleBy rates per stratum land near the requested fractions and the
-    seeded draw is identical across invocations."""
+    """Per-stratum rates of the hash-Bernoulli draw land near the requested
+    fractions and the seeded draw is identical across invocations (it is a
+    pure function of (doc_id, seed) — tools/layout_invariance.py further
+    holds it identical across physical layouts, which df.sampleBy's
+    per-partition RNG streams are not)."""
     from kse.catalog import load
     from kse.queries.llm import q_llm_sample_stratified
 
