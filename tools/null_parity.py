@@ -19,6 +19,11 @@ Run: python tools/null_parity.py [n_rows]          # NULL mode (default 8 rows)
      python tools/null_parity.py 1                 # singleton mode: one row per
                                                    # table (degenerate windows,
                                                    # self-joins, stddev of n=1)
+     python tools/null_parity.py --empty=dims      # mixed cardinality: the named
+     python tools/null_parity.py --empty=facts     # group (or --empty=a,b,...)
+                                                   # planted EMPTY while the rest
+                                                   # keep n_rows — one join side
+                                                   # empty, the other populated
      python tools/null_parity.py --ties [n_rows]   # tie mode: every value column
                                                    # CONSTANT, so every ordering,
                                                    # arg-extreme, and top-k ties
@@ -311,11 +316,24 @@ def _synth_value(
     raise ValueError(f"no synth value for {dtype}")
 
 
+# --empty=facts|dims: the mixed-cardinality axis. All-empty (n_rows=0)
+# probes every query's degenerate case at once, but join interactions
+# need ONE side empty with the other populated: an empty dimension under
+# a broadcast join, an empty fact under a left join's preserved side, a
+# knn probe over zero vectors while documents exist. facts = the big
+# tables a filter can fully drain; dims = the small broadcast sides.
+EMPTY_GROUPS = {
+    "facts": {"lineitem", "orders", "events", "documents", "embeddings"},
+    "dims": {"region", "nation", "customer", "supplier", "part"},
+}
+
+
 def plant(
     spark, base: str, n_rows: int,
     ties: bool = False, nasty: bool = False, dupkeys: bool = False,
     neg: bool = False, extreme: bool = False, times: bool = False,
     rand: bool = False, seed: int = 1,
+    empty_tables: frozenset[str] = frozenset(),
 ) -> str:
     """NULL mode: keys dense, non-key columns alternating NULL — the same
     shape as the pytest sweep's [n, True] parametrization (kept in
@@ -351,12 +369,14 @@ def plant(
         mode = f"rand{seed}"
     else:
         mode = "null"
+    if empty_tables:
+        mode += "_e" + str(len(empty_tables))
     sf_dir = os.path.join(base, f"{mode}_sf_{n_rows}")
     os.makedirs(sf_dir, exist_ok=True)
     key_suffixes = ("key", "_id", "id")
     for name, schema in SCHEMAS.items():
         rows = []
-        for i in range(n_rows):
+        for i in range(0 if name in empty_tables else n_rows):
             row = []
             for j, f in enumerate(schema.fields):
                 is_key = any(f.name.endswith(sfx) for sfx in key_suffixes)
@@ -410,9 +430,15 @@ def main() -> int:
     times = "--times" in args
     rand = "--rand" in args
     seed = 1
+    empty_tables: frozenset[str] = frozenset()
     for a in args:
         if a.startswith("--seed="):
             seed = int(a.split("=", 1)[1])
+        if a.startswith("--empty="):
+            spec = a.split("=", 1)[1]
+            empty_tables = frozenset(
+                EMPTY_GROUPS.get(spec, set(spec.split(",")))
+            )
     args = [a for a in args if not a.startswith("--")]
     # non-numeric positional args filter the run to named queries
     # (triage loops: `... --times q_ts_gapfill q_fn_date`)
@@ -441,7 +467,7 @@ def main() -> int:
     try:
         sf_dir = plant(
             spark, base, n_rows, ties, nasty, dupkeys, neg, extreme, times,
-            rand, seed,
+            rand, seed, empty_tables,
         )
         con = check.duck_connect(sf_dir)
         qs = registry.all_queries()
