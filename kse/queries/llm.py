@@ -211,7 +211,15 @@ def minhash_candidate_pairs(d: DataFrame, fast: bool = False) -> DataFrame:
         ).alias("band", "sig"),
     )
     a = bands.alias("a")
-    b = bands.alias("b")
+    # shuffle_hash pin: BOTH sides of the bucket self-join scale with the
+    # corpus (4 band rows per doc), so neither may ever be a driver-built
+    # broadcast — Catalyst's static size estimate of the derived bands
+    # frame stays under the autoBroadcastJoinThreshold while the real
+    # HashedRelation grows without bound (measured: the 100x tier OOMed an
+    # 8g driver building it). The hint forces a partitioned hash join on
+    # the (band, sig) equi-keys: per-partition builds, no sort, no driver
+    # materialization — the shape that survives any scale-up.
+    b = bands.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
@@ -747,8 +755,13 @@ def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     shingled = _shingle_sets(d)  # exploded fast path; set math is order-free
     pairs = minhash_candidate_pairs(d)
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    # shuffle_hash pin on the shingle-array sides: the verify joins must
+    # never broadcast the shingled corpus — its static estimate hides the
+    # array payload (~1 KB/doc), and building it as a driver-side
+    # HashedRelation OOMed the 100x tier. Partitioned hash join on doc_id
+    # keeps each build a corpus-fraction per partition at any scale.
+    a = shingled.alias("a").hint("shuffle_hash")
+    b = shingled.alias("b").hint("shuffle_hash")
     jac = (
         pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
         .join(b, pairs.doc_b == F.col("b.doc_id"))
@@ -813,8 +826,10 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     shingled = _shingle_sets(d)  # exploded fast path; set math is order-free
     pairs = minhash_candidate_pairs(d)
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    # same shuffle_hash pin as q_llm_dedup_ngram_jaccard: never broadcast
+    # the shingled corpus (array payload invisible to the size estimate).
+    a = shingled.alias("a").hint("shuffle_hash")
+    b = shingled.alias("b").hint("shuffle_hash")
     cont = (
         pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
         .join(b, pairs.doc_b == F.col("b.doc_id"))

@@ -311,6 +311,7 @@ def main() -> None:
     timed = HEADLINE + SCALE_OPS
     for _ in range(2):
         for name in timed:
+            print(f"# warm {name}", flush=True)
             mat(qs[name].fn(spark, dest))
     spark_t: dict[str, float] = {}
     for name in timed:
