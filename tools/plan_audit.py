@@ -74,6 +74,10 @@ REQUIRED = {
     "q_join_theta_banded": [
         ("band predicate compiles to an equi-join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     ],
+    "q_join_theta_cdf": [
+        ("boundary cumsum window is per-bucket (hash exchange)", r"hashpartitioning\(bkt"),
+        ("bucket offsets broadcast back", r"BroadcastHashJoin"),
+    ],
     "q_llm_shard_assign": [
         ("doc cumsum window is per-bucket (hash exchange)", r"hashpartitioning\(bkt"),
     ],
@@ -246,6 +250,10 @@ FORBIDDEN = {
     ],
     "q_join_theta_banded": [
         ("no nested-loop join", r"NestedLoop|CartesianProduct"),
+    ],
+    "q_join_theta_cdf": [
+        ("no pair join at all", r"NestedLoop|CartesianProduct"),
+        ("no global range-sort of the merged stream", r"rangepartitioning"),
     ],
     "q_llm_dedup_editdist": [
         ("candidates from equi-join, not all-pairs", r"NestedLoop|CartesianProduct"),

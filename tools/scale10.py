@@ -8,7 +8,12 @@ headroom" table: the claim under test is that plans are shuffle-bounded
 (sub-linear wall-clock in rows on fixed cores) and that Spark's gap to an
 in-process engine narrows as data grows.
 
-Usage:  python tools/scale10.py [--rows-mult N]   (default 10)
+Usage:  python tools/scale10.py [--rows-mult N] [--spark-only] [--ops a,b]
+        (default mult 10; --spark-only skips the DuckDB comparison and the
+        headline-ratio table — the mode for the 100x scale-failure hunt,
+        where the question is "does the Spark plan survive", not "what is
+        the ratio"; --ops restricts the timed list to a comma-separated
+        subset for triage)
 """
 
 from __future__ import annotations
@@ -48,6 +53,7 @@ HEADLINE = [
 SCALE_OPS = [
     "q_llm_shard_assign",
     "q_join_theta_banded",
+    "q_join_theta_cdf",
     "q_llm_curate",
     "q_win_sessionize",
     "q_ts_zscore",
@@ -270,6 +276,12 @@ def main() -> None:
     mult = 10
     if "--rows-mult" in sys.argv:
         mult = int(sys.argv[sys.argv.index("--rows-mult") + 1])
+    spark_only = "--spark-only" in sys.argv
+    once = "--once" in sys.argv  # 0 warm-ups, 1 timed run: the survival
+    # sweep (does every plan COMPLETE at this tier), not a measurement
+    only_ops = None
+    if "--ops" in sys.argv:
+        only_ops = set(sys.argv[sys.argv.index("--ops") + 1].split(","))
     dest = f"/tmp/kse-scale{mult}x"
     spark = get_session("kse-scale10")
     spark.sparkContext.setLogLevel("ERROR")
@@ -309,20 +321,34 @@ def main() -> None:
 
     qs = registry.all_queries()
     timed = HEADLINE + SCALE_OPS
-    for _ in range(2):
+    if only_ops is not None:
+        unknown = only_ops - set(timed)
+        if unknown:
+            raise SystemExit(f"--ops names not in the timed list: {sorted(unknown)}")
+        timed = [n for n in timed if n in only_ops]
+    for _ in range(0 if once else 2):
         for name in timed:
             print(f"# warm {name}", flush=True)
             mat(qs[name].fn(spark, dest))
     spark_t: dict[str, float] = {}
     for name in timed:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(1 if once else 3):
+            print(f"# run {name}", flush=True)
             t0 = time.perf_counter()
             mat(qs[name].fn(spark, dest))
             best = min(best, time.perf_counter() - t0)
         spark_t[name] = best
 
     duck_t: dict[str, float] = {}
+    if spark_only:
+        print("# duckdb comparison skipped: --spark-only")
+        print(f"| query | spark {mult}x |")
+        print("| --- | --- |")
+        for name in timed:
+            print(f"| {name} | {spark_t[name]*1000:.0f} ms |")
+        _scale_gates(spark, dest)
+        return
     try:
         import duckdb
 
@@ -357,13 +383,17 @@ def main() -> None:
             f"| {name} | {st*1000:.0f} ms | "
             f"{(dt*1000):.0f} ms | {ratio} |" if dt else f"| {name} | {st*1000:.0f} ms | — | — |"
         )
-    h_spark = sum(spark_t[n] for n in HEADLINE)
-    h_duck = sum(duck_t[n] for n in HEADLINE if n in duck_t)
-    print(
-        f"| HEADLINE TOTAL | {h_spark*1000:.0f} ms | "
-        f"{h_duck*1000:.0f} ms | {h_spark/max(h_duck,1e-9):.2f}x |"
-    )
+    if all(n in spark_t for n in HEADLINE):
+        h_spark = sum(spark_t[n] for n in HEADLINE)
+        h_duck = sum(duck_t[n] for n in HEADLINE if n in duck_t)
+        print(
+            f"| HEADLINE TOTAL | {h_spark*1000:.0f} ms | "
+            f"{h_duck*1000:.0f} ms | {h_spark/max(h_duck,1e-9):.2f}x |"
+        )
+    _scale_gates(spark, dest)
 
+
+def _scale_gates(spark, dest: str) -> None:
     # One-time graph edge derivation (shared by triangles / jaccard /
     # pagerank via the plan cache; DuckDB pays it inside every graph query
     # above). Timed on a fresh build so the checkpoint cost is visible.

@@ -47,6 +47,11 @@ BOUNDS: dict[str, tuple[int, str]] = {
         8 * MB,
         "duplicates collapse map-side; only distinct texts' states shuffle",
     ),
+    "q_join_theta_cdf": (
+        4 * MB,
+        "only distinct-price counts + two boundary rows per supplier "
+        "shuffle — no candidate pair ever materializes",
+    ),
     # bounded-shuffle claims: keys/signatures move, never payloads
     "q_llm_dedup_substring": (
         24 * MB,
