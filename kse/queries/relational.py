@@ -1090,6 +1090,170 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_percentile_dist",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc=(
+        "EXACT interpolated percentiles with BOUNDED memory — identical "
+        "output to q_agg_percentile (same oracle), different execution: "
+        "Spark's `percentile` aggregate buffers a value->count map per "
+        "group, so a high-cardinality column grows the buffer with the "
+        "corpus (the 100x survival sweep OOMed an 8g heap on 10M distinct "
+        "prices; the approx twin is one answer, this is the exact one). "
+        "Histogram rank-selection instead: pass 1 counts rows per (group, "
+        "metric, value-bucket) — a spillable hash aggregate whose size is "
+        "the OCCUPIED-BUCKET count, not the distinct-value count — and a "
+        "per-group running sum over that metadata-sized frame locates the "
+        "bucket containing each target rank h = (n-1)*p. Pass 2 re-scans "
+        "with a broadcast semi-filter to ONLY those buckets (~n/buckets "
+        "rows each), ranks within bucket + base offset, and interpolates "
+        "lo + (hi - lo)*frac exactly as percentile_cont defines (frac == 0 "
+        "short-circuits to the element itself so an infinite lo never "
+        "turns Inf - Inf into NaN). The two engines' shared total order "
+        "(NaN last, beyond +Inf) carries through because ranking is an "
+        "ORDER BY over the same doubles. Same two-pass "
+        "tiny-statistic-then-map-side shape as q_llm_length_filter and "
+        "q_join_theta_cdf; at 100x this runs in 21 s (cold, single run) "
+        "where the buffering aggregate ran out of memory."
+    ),
+)
+def q_agg_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    groups = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("__n"))
+    long = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.lit("price").alias("m"),
+            F.col("l_extendedprice").alias("val"),
+        )
+        .unionByName(
+            li.select(
+                F.col("l_returnflag").alias("grp"),
+                F.lit("qty").alias("m"),
+                F.col("l_quantity").alias("val"),
+            )
+        )
+        .filter(F.col("val").isNotNull())
+    )
+    bkt = F.when(F.isnan(F.col("val")), F.lit(2**63 - 1)).otherwise(
+        F.floor(F.col("val"))
+    )
+    long = long.withColumn("bkt", bkt)
+    cnts = long.groupBy("grp", "m", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("grp", "m")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cnts = cnts.withColumn("cum_end", F.sum("c").over(w_cum)).withColumn(
+        "cum_start", F.col("cum_end") - F.col("c")
+    )
+    tspec = F.when(
+        F.col("m") == "price",
+        F.array(
+            F.struct(F.lit(0.5).alias("p"), F.lit("p50").alias("nm")),
+            F.struct(F.lit(0.9).alias("p"), F.lit("p90").alias("nm")),
+        ),
+    ).otherwise(F.array(F.struct(F.lit(0.25).alias("p"), F.lit("q1_qty").alias("nm"))))
+    targets = (
+        cnts.groupBy("grp", "m")
+        .agg(F.sum("c").alias("n"))
+        .select("grp", "m", "n", F.explode(tspec).alias("t"))
+        .select(
+            "grp",
+            "m",
+            ((F.col("n") - 1) * F.col("t.p")).alias("h"),
+            F.col("t.nm").alias("nm"),
+        )
+        .select(
+            "grp",
+            "m",
+            "nm",
+            F.floor(F.col("h")).alias("lo_rank"),
+            F.ceil(F.col("h")).alias("hi_rank"),
+            (F.col("h") - F.floor(F.col("h"))).alias("frac"),
+        )
+    )
+    # buckets containing either target rank: a join of two METADATA-sized
+    # frames (targets: groups x 3 rows; cnts: groups x occupied buckets)
+    needed = (
+        targets.alias("t")
+        .join(
+            cnts.alias("c"),
+            F.col("t.grp").eqNullSafe(F.col("c.grp"))
+            & (F.col("t.m") == F.col("c.m"))
+            & (
+                F.col("t.lo_rank").between(F.col("c.cum_start"), F.col("c.cum_end") - 1)
+                | F.col("t.hi_rank").between(
+                    F.col("c.cum_start"), F.col("c.cum_end") - 1
+                )
+            ),
+        )
+        .select(
+            F.col("c.grp").alias("grp"),
+            F.col("c.m").alias("m"),
+            F.col("c.bkt").alias("bkt"),
+            F.col("c.cum_start").alias("base"),
+        )
+        .distinct()
+    )
+    ranked = long.alias("l").join(
+        F.broadcast(needed).alias("nb"),
+        F.col("l.grp").eqNullSafe(F.col("nb.grp"))
+        & (F.col("l.m") == F.col("nb.m"))
+        & (F.col("l.bkt") == F.col("nb.bkt")),
+    )
+    w_rank = Window.partitionBy("l.grp", "l.m", "l.bkt").orderBy("val")
+    ranked = ranked.select(
+        F.col("l.grp").alias("grp"),
+        F.col("l.m").alias("m"),
+        "val",
+        (F.row_number().over(w_rank) - 1 + F.col("base")).alias("rk"),
+    )
+    picked = (
+        ranked.alias("r")
+        .join(
+            F.broadcast(targets).alias("t"),
+            F.col("r.grp").eqNullSafe(F.col("t.grp"))
+            & (F.col("r.m") == F.col("t.m"))
+            & (
+                (F.col("rk") == F.col("t.lo_rank"))
+                | (F.col("rk") == F.col("t.hi_rank"))
+            ),
+        )
+        .groupBy(F.col("r.grp").alias("grp"), "nm")
+        .agg(
+            F.max(F.when(F.col("rk") == F.col("t.lo_rank"), F.col("val"))).alias("lo"),
+            F.max(F.when(F.col("rk") == F.col("t.hi_rank"), F.col("val"))).alias("hi"),
+            F.first("frac").alias("frac"),
+        )
+        .withColumn(
+            "res",
+            F.when(F.col("frac") == 0.0, F.col("lo")).otherwise(
+                F.col("lo") + (F.col("hi") - F.col("lo")) * F.col("frac")
+            ),
+        )
+    )
+    wide = picked.groupBy("grp").agg(
+        r4(F.max(F.when(F.col("nm") == "p50", F.col("res"))), "p50"),
+        r4(F.max(F.when(F.col("nm") == "p90", F.col("res"))), "p90"),
+        r4(F.max(F.when(F.col("nm") == "q1_qty", F.col("res"))), "q1_qty"),
+    )
+    return (
+        groups.alias("g")
+        .join(F.broadcast(wide).alias("w"), F.col("g.l_returnflag").eqNullSafe(F.col("w.grp")), "left")
+        .select("l_returnflag", "p50", "p90", "q1_qty")
+    )
+
+
+@register(
     "q_agg_approx_percentile",
     doc=(
         "Approximate percentiles via percentile_approx (Greenwald-Khanna "

@@ -78,6 +78,10 @@ REQUIRED = {
         ("boundary cumsum window is per-bucket (hash exchange)", r"hashpartitioning\(bkt"),
         ("bucket offsets broadcast back", r"BroadcastHashJoin"),
     ],
+    "q_agg_percentile_dist": [
+        ("pass-1 bucket counts partially aggregated map-side", r"partial_count"),
+        ("pass-2 filter is a broadcast join to the target buckets", r"BroadcastHashJoin"),
+    ],
     "q_llm_shard_assign": [
         ("doc cumsum window is per-bucket (hash exchange)", r"hashpartitioning\(bkt"),
     ],

@@ -54,6 +54,7 @@ SCALE_OPS = [
     "q_llm_shard_assign",
     "q_join_theta_banded",
     "q_join_theta_cdf",
+    "q_agg_percentile_dist",
     "q_llm_curate",
     "q_win_sessionize",
     "q_ts_zscore",
@@ -279,6 +280,10 @@ def main() -> None:
     spark_only = "--spark-only" in sys.argv
     once = "--once" in sys.argv  # 0 warm-ups, 1 timed run: the survival
     # sweep (does every plan COMPLETE at this tier), not a measurement
+    registry_sweep = "--registry" in sys.argv  # survival-run every
+    # registered query NOT already in the timed lists (implies the skip
+    # list below: queries whose 100x degeneracy is a documented property
+    # of the GENERATOR, not the plan)
     only_ops = None
     if "--ops" in sys.argv:
         only_ops = set(sys.argv[sys.argv.index("--ops") + 1].split(","))
@@ -321,6 +326,27 @@ def main() -> None:
 
     qs = registry.all_queries()
     timed = HEADLINE + SCALE_OPS
+    if registry_sweep:
+        # Documented exclusions, each a generator-degeneracy, not a plan
+        # property (see the SCALE_OPS comment block for editdist):
+        # - q_join_theta: the RAW BroadcastNestedLoop strategy, kept
+        #   registered for genuinely broadcast-small sides; at 100x the
+        #   fixed value domain makes its output quadratic (2e11 compares)
+        #   — q_join_theta_banded/_cdf are its scale shapes, both timed.
+        # - q_llm_dedup_editdist: length-banding can't block a uniform
+        #   100-600 char spread; the 100 TB path is LSH-first (timed).
+        # - q_agg_percentile: Spark's exact `percentile` aggregate buffers
+        #   a value->count map per group — ~10M distinct prices at 100x
+        #   OOMed the 8g heap (measured by this sweep). Operator property,
+        #   not a plan bug; its two scale shapes ARE timed:
+        #   q_agg_approx_percentile (GK sketch, bounded) and
+        #   q_agg_percentile_dist (exact histogram rank-selection).
+        skip = {
+            "q_join_theta",
+            "q_llm_dedup_editdist",
+            "q_agg_percentile",
+        } | set(timed)
+        timed = sorted(n for n in qs if n not in skip)
     if only_ops is not None:
         unknown = only_ops - set(timed)
         if unknown:

@@ -47,6 +47,12 @@ BOUNDS: dict[str, tuple[int, str]] = {
         8 * MB,
         "duplicates collapse map-side; only distinct texts' states shuffle",
     ),
+    "q_agg_percentile_dist": (
+        8 * MB,
+        "bucket-count states + only the target buckets' rows shuffle — "
+        "the value->count buffer the builtin percentile would build "
+        "never exists",
+    ),
     "q_join_theta_cdf": (
         4 * MB,
         "only distinct-price counts + two boundary rows per supplier "
