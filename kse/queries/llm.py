@@ -2778,8 +2778,15 @@ def q_llm_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a = grams.select(F.col("source").alias("source_a"), "gram")
-    b = grams.select(F.col("source").alias("source_b"), "gram")
+    # shuffle_hash pin: BOTH sides of this self-join are the corpus's
+    # distinct (source, gram) frame — Catalyst's post-aggregate size
+    # estimate hides the gram-string payload, kept the frame under the
+    # auto-broadcast threshold, and built a corpus-sized HashedRelation
+    # on the 100x survival sweep (heap OOM, same class as the minhash
+    # band join). Partitioned per-gram hash join instead: each partition
+    # builds only a corpus fraction at any scale.
+    a = grams.select(F.col("source").alias("source_a"), "gram").hint("shuffle_hash")
+    b = grams.select(F.col("source").alias("source_b"), "gram").hint("shuffle_hash")
     return (
         a.join(b, "gram")
         .filter(F.col("source_a") < F.col("source_b"))

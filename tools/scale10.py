@@ -348,10 +348,12 @@ def main() -> None:
         } | set(timed)
         timed = sorted(n for n in qs if n not in skip)
     if only_ops is not None:
-        unknown = only_ops - set(timed)
+        unknown = only_ops - set(qs)
         if unknown:
-            raise SystemExit(f"--ops names not in the timed list: {sorted(unknown)}")
-        timed = [n for n in timed if n in only_ops]
+            raise SystemExit(f"--ops names not registered: {sorted(unknown)}")
+        timed = [n for n in timed if n in only_ops] + sorted(
+            only_ops - set(timed)
+        )
     for _ in range(0 if once else 2):
         for name in timed:
             print(f"# warm {name}", flush=True)
