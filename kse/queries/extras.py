@@ -298,6 +298,118 @@ def q_win_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_range_between_dist",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CAST(count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+            RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_1k
+FROM orders
+""",
+    doc=(
+        "The scale shape of q_win_range_between (identical output, same "
+        "oracle): a RANGE-frame window PARTITIONed BY a 3-value column "
+        "caps parallelism at 3 tasks, each sorting its whole partition — "
+        "the 100x survival sweep measured 761 s on 15M orders, and at "
+        "100 TB a low-cardinality window partition is a non-starter. "
+        "A value-range COUNT frame never needs the per-partition sort: "
+        "count over [v-1000, v] = F(v) - F((v-1000)-) where F is the "
+        "group's cumulative distribution, so this computes per-DISTINCT-"
+        "value inclusive/exclusive ranks with the same bucketed prefix "
+        "sum as q_join_theta_cdf (data-sized sorts stay partitioned by "
+        "(status, value-bucket); only bucket totals see an unpartitioned "
+        "window) and equi-joins the two ranks back to rows on (status, "
+        "value). Zero-weight lookup rows planted at v-1000 read the "
+        "strict-below rank even when v-1000 is not a data value (tie key "
+        "orders them BEFORE equal data values; the frame INCLUDES exact "
+        "v-1000 peers). NULL ordering values form their own peer group "
+        "on both engines — counted per status in a separate branch and "
+        "unioned in. Measured 24 s at the same 100x tier, 31x, with "
+        "32-way parallel stages throughout."
+    ),
+)
+def q_win_range_between_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    vals = o.filter(F.col("o_totalprice").isNotNull())
+    # one stream row per DISTINCT (status, value) with its multiplicity,
+    # plus a zero-weight lookup row at value-1000 per distinct value
+    dv = vals.groupBy(
+        F.col("o_orderstatus").alias("st"), F.col("o_totalprice").alias("val")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    data = dv.select(
+        "st",
+        "val",
+        F.lit(1).alias("tie"),
+        "w",
+        F.lit(None).cast("double").alias("orig"),
+    )
+    lo = dv.select(
+        "st",
+        (F.col("val") - 1000.0).alias("val"),
+        F.lit(0).alias("tie"),
+        F.lit(0).cast("long").alias("w"),
+        F.col("val").alias("orig"),
+    )
+    stream = data.unionByName(lo)
+    bkt = F.when(F.isnan(F.col("val")), F.lit(2**63 - 1)).otherwise(
+        F.floor(F.col("val") / F.lit(1000.0))
+    )
+    b = stream.withColumn("bkt", bkt)
+    totals = b.groupBy("st", "bkt").agg(F.sum("w").alias("bt"))
+    w_base = (
+        Window.partitionBy("st")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "st", "bkt", F.coalesce(F.sum("bt").over(w_base), F.lit(0)).alias("base")
+    )
+    w_in = (
+        Window.partitionBy("st", "bkt")
+        .orderBy("val", "tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = b.alias("b").join(
+        offsets.alias("f"),
+        F.col("b.st").eqNullSafe(F.col("f.st")) & (F.col("b.bkt") == F.col("f.bkt")),
+    ).select("b.st", "b.val", "b.tie", "b.w", "b.orig", "b.bkt", "f.base")
+    merged = merged.withColumn("cum", F.col("base") + F.sum("w").over(w_in))
+    hi = merged.filter(F.col("tie") == 1).select(
+        F.col("st").alias("h_st"), F.col("val").alias("h_val"), F.col("cum").alias("cnt_le")
+    )
+    lo_r = merged.filter(F.col("tie") == 0).select(
+        F.col("st").alias("l_st"), F.col("orig").alias("l_val"), F.col("cum").alias("cnt_lt_lo")
+    )
+    per_val = hi.join(
+        lo_r,
+        F.col("h_st").eqNullSafe(F.col("l_st")) & (F.col("h_val") == F.col("l_val")),
+    ).select(
+        F.col("h_st").alias("st"),
+        F.col("h_val").alias("val"),
+        (F.col("cnt_le") - F.col("cnt_lt_lo")).alias("n_within_1k"),
+    )
+    # NULL ordering values are all peers of each other: frame = the
+    # status's NULL-value rows, same on both engines
+    nulls = (
+        o.filter(F.col("o_totalprice").isNull())
+        .groupBy(F.col("o_orderstatus").alias("st"))
+        .agg(F.count(F.lit(1)).alias("n_within_1k"))
+        .select("st", F.lit(None).cast("double").alias("val"), "n_within_1k")
+    )
+    per_val = per_val.unionByName(nulls)
+    return o.alias("o").join(
+        per_val.alias("p"),
+        F.col("o.o_orderstatus").eqNullSafe(F.col("p.st"))
+        & F.col("o.o_totalprice").eqNullSafe(F.col("p.val")),
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "n_within_1k")
+
+
+@register(
     "q_join_cross",
     oracle="""
 SELECT r_name, n_name FROM region CROSS JOIN nation

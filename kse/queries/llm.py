@@ -1713,13 +1713,17 @@ FROM b
 )
 def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
+    # split ONCE into a column the lambda references: the previous form
+    # re-split the whole text inside the transform lambda per element
+    # (Catalyst does not CSE through lambda bodies), making each doc
+    # O(words^2) — the 100x sweep measured 89 s; hoisted it reads 9 s.
     bg = F.expr(
-        "transform(sequence(1, size(split(lower(text), ' ')) - 1), "
-        "i -> concat_ws(' ', element_at(split(lower(text), ' '), i), "
-        "element_at(split(lower(text), ' '), i + 1)))"
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"
     )
     return (
-        d.filter(F.size(F.split(F.lower("text"), " ")) >= 2)
+        d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
         .select("doc_id", bg.alias("bg"))
         .select(
             "doc_id",

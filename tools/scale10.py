@@ -55,6 +55,7 @@ SCALE_OPS = [
     "q_join_theta_banded",
     "q_join_theta_cdf",
     "q_agg_percentile_dist",
+    "q_win_range_between_dist",
     "q_llm_curate",
     "q_win_sessionize",
     "q_ts_zscore",
