@@ -3030,7 +3030,10 @@ def _kmeans_ctes(k_sql: str = str(_KM_K)) -> str:
     ctes = [
         "vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
         "FROM embeddings WHERE embedding IS NOT NULL)",
-        f"cent0 AS (SELECT vec_id AS cid, e AS c FROM vecs WHERE vec_id < ({k_sql}))",
+        # k_sql is interpolated bare so the fixed-k default reproduces the
+        # previous oracle text byte-for-byte (no cosmetic pair change for
+        # q_llm_kmeans); the scaled caller passes its own parentheses.
+        f"cent0 AS (SELECT vec_id AS cid, e AS c FROM vecs WHERE vec_id < {k_sql})",
     ]
     for i in range(1, _KM_UPDATES + 2):
         ctes.append(
@@ -3168,7 +3171,7 @@ _E_NORM = (
 def _semdedup_oracle() -> str:
     return (
         "WITH "
-        + _kmeans_ctes(k_sql=f"SELECT {_KM_K_DUCK} FROM vecs")
+        + _kmeans_ctes(k_sql=f"(SELECT {_KM_K_DUCK} FROM vecs)")
         + f""",
 fin AS (SELECT vec_id, cid, e FROM assign{_KM_UPDATES + 1}),
 prs AS (
