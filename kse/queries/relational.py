@@ -1089,59 +1089,31 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_agg_percentile_dist",
-    oracle="""
-SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
-       round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
-FROM lineitem GROUP BY l_returnflag
-""",
-    doc=(
-        "EXACT interpolated percentiles with BOUNDED memory — identical "
-        "output to q_agg_percentile (same oracle), different execution: "
-        "Spark's `percentile` aggregate buffers a value->count map per "
-        "group, so a high-cardinality column grows the buffer with the "
-        "corpus (the 100x survival sweep OOMed an 8g heap on 10M distinct "
-        "prices; the approx twin is one answer, this is the exact one). "
-        "Histogram rank-selection instead: pass 1 counts rows per (group, "
-        "metric, value-bucket) — a spillable hash aggregate whose size is "
-        "the OCCUPIED-BUCKET count, not the distinct-value count — and a "
-        "per-group running sum over that metadata-sized frame locates the "
-        "bucket containing each target rank h = (n-1)*p. Pass 2 re-scans "
-        "with a broadcast semi-filter to ONLY those buckets (~n/buckets "
-        "rows each), ranks within bucket + base offset, and interpolates "
-        "lo + (hi - lo)*frac exactly as percentile_cont defines (frac == 0 "
-        "short-circuits to the element itself so an infinite lo never "
-        "turns Inf - Inf into NaN). The two engines' shared total order "
-        "(NaN last, beyond +Inf) carries through because ranking is an "
-        "ORDER BY over the same doubles. Same two-pass "
-        "tiny-statistic-then-map-side shape as q_llm_length_filter and "
-        "q_join_theta_cdf; at 100x this runs in 21 s (cold, single run) "
-        "where the buffering aggregate ran out of memory."
-    ),
-)
-def q_agg_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pctl_rank_select(long: DataFrame, tspec, disc: bool) -> DataFrame:
+    """Exact percentile election with BOUNDED memory, shared by the
+    continuous (q_agg_percentile_dist) and discrete
+    (q_agg_percentile_disc_dist) twins.
+
+    Input `long` is DataFrame[grp, m, val] with NULL vals already
+    dropped; `tspec` is a column expression mapping metric m to
+    array<struct<p double, nm string>> of requested percentiles.
+
+    Pass 1 counts rows per (grp, m, floor(val)) bucket — a spillable
+    hash aggregate sized by OCCUPIED buckets, not distinct values — and
+    a running sum over that metadata-sized frame locates the bucket
+    holding each target rank. Pass 2 re-scans with a broadcast
+    semi-filter to only those buckets, ranks within bucket + base
+    offset, and elects the value(s). Rank definition: continuous
+    interpolates at h = (n-1)*p (percentile_cont); discrete takes the
+    0-indexed rank ceil(p*n)-1 — the SQL-standard percentile_disc
+    "smallest value whose cumulative distribution >= p", which DuckDB's
+    quantile_disc matches (probed exact-equal across n=1..16 x
+    p={0.25,0.5,0.9}). NaN buckets to 2^63-1; floor(+Inf) saturates to
+    the same bucket, and the within-bucket ORDER BY val resolves it
+    (both engines sort NaN above +Inf). Returns DataFrame[grp, nm, res].
+    """
     from pyspark.sql.window import Window
 
-    li = t(spark, sf_dir, "lineitem")
-    groups = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("__n"))
-    long = (
-        li.select(
-            F.col("l_returnflag").alias("grp"),
-            F.lit("price").alias("m"),
-            F.col("l_extendedprice").alias("val"),
-        )
-        .unionByName(
-            li.select(
-                F.col("l_returnflag").alias("grp"),
-                F.lit("qty").alias("m"),
-                F.col("l_quantity").alias("val"),
-            )
-        )
-        .filter(F.col("val").isNotNull())
-    )
     bkt = F.when(F.isnan(F.col("val")), F.lit(2**63 - 1)).otherwise(
         F.floor(F.col("val"))
     )
@@ -1155,24 +1127,30 @@ def q_agg_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnts = cnts.withColumn("cum_end", F.sum("c").over(w_cum)).withColumn(
         "cum_start", F.col("cum_end") - F.col("c")
     )
-    tspec = F.when(
-        F.col("m") == "price",
-        F.array(
-            F.struct(F.lit(0.5).alias("p"), F.lit("p50").alias("nm")),
-            F.struct(F.lit(0.9).alias("p"), F.lit("p90").alias("nm")),
-        ),
-    ).otherwise(F.array(F.struct(F.lit(0.25).alias("p"), F.lit("q1_qty").alias("nm"))))
     targets = (
         cnts.groupBy("grp", "m")
         .agg(F.sum("c").alias("n"))
         .select("grp", "m", "n", F.explode(tspec).alias("t"))
-        .select(
+    )
+    if disc:
+        rk = F.greatest(
+            F.ceil(F.col("t.p") * F.col("n")) - 1, F.lit(0).cast("long")
+        )
+        targets = targets.select(
+            "grp",
+            "m",
+            F.col("t.nm").alias("nm"),
+            rk.alias("lo_rank"),
+            rk.alias("hi_rank"),
+            F.lit(0.0).alias("frac"),
+        )
+    else:
+        targets = targets.select(
             "grp",
             "m",
             ((F.col("n") - 1) * F.col("t.p")).alias("h"),
             F.col("t.nm").alias("nm"),
-        )
-        .select(
+        ).select(
             "grp",
             "m",
             "nm",
@@ -1180,9 +1158,9 @@ def q_agg_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("h")).alias("hi_rank"),
             (F.col("h") - F.floor(F.col("h"))).alias("frac"),
         )
-    )
     # buckets containing either target rank: a join of two METADATA-sized
-    # frames (targets: groups x 3 rows; cnts: groups x occupied buckets)
+    # frames (targets: groups x percentiles rows; cnts: groups x occupied
+    # buckets)
     needed = (
         targets.alias("t")
         .join(
@@ -1217,7 +1195,7 @@ def q_agg_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val",
         (F.row_number().over(w_rank) - 1 + F.col("base")).alias("rk"),
     )
-    picked = (
+    return (
         ranked.alias("r")
         .join(
             F.broadcast(targets).alias("t"),
@@ -1241,6 +1219,67 @@ def q_agg_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_agg_percentile_dist",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc=(
+        "EXACT interpolated percentiles with BOUNDED memory — identical "
+        "output to q_agg_percentile (same oracle), different execution: "
+        "Spark's `percentile` aggregate buffers a value->count map per "
+        "group, so a high-cardinality column grows the buffer with the "
+        "corpus (the 100x survival sweep OOMed an 8g heap on 10M distinct "
+        "prices; the approx twin is one answer, this is the exact one). "
+        "Histogram rank-selection instead: pass 1 counts rows per (group, "
+        "metric, value-bucket) — a spillable hash aggregate whose size is "
+        "the OCCUPIED-BUCKET count, not the distinct-value count — and a "
+        "per-group running sum over that metadata-sized frame locates the "
+        "bucket containing each target rank h = (n-1)*p. Pass 2 re-scans "
+        "with a broadcast semi-filter to ONLY those buckets (~n/buckets "
+        "rows each), ranks within bucket + base offset, and interpolates "
+        "lo + (hi - lo)*frac exactly as percentile_cont defines (frac == 0 "
+        "short-circuits to the element itself so an infinite lo never "
+        "turns Inf - Inf into NaN). The two engines' shared total order "
+        "(NaN last, beyond +Inf) carries through because ranking is an "
+        "ORDER BY over the same doubles. Same two-pass "
+        "tiny-statistic-then-map-side shape as q_llm_length_filter and "
+        "q_join_theta_cdf; at 100x this runs in 21 s (cold, single run) "
+        "where the buffering aggregate ran out of memory."
+    ),
+)
+def q_agg_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    groups = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("__n"))
+    long = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.lit("price").alias("m"),
+            F.col("l_extendedprice").alias("val"),
+        )
+        .unionByName(
+            li.select(
+                F.col("l_returnflag").alias("grp"),
+                F.lit("qty").alias("m"),
+                F.col("l_quantity").alias("val"),
+            )
+        )
+        .filter(F.col("val").isNotNull())
+    )
+    tspec = F.when(
+        F.col("m") == "price",
+        F.array(
+            F.struct(F.lit(0.5).alias("p"), F.lit("p50").alias("nm")),
+            F.struct(F.lit(0.9).alias("p"), F.lit("p90").alias("nm")),
+        ),
+    ).otherwise(F.array(F.struct(F.lit(0.25).alias("p"), F.lit("q1_qty").alias("nm"))))
+    picked = _pctl_rank_select(long, tspec, disc=False)
     wide = picked.groupBy("grp").agg(
         r4(F.max(F.when(F.col("nm") == "p50", F.col("res"))), "p50"),
         r4(F.max(F.when(F.col("nm") == "p90", F.col("res"))), "p90"),
@@ -1250,6 +1289,69 @@ def q_agg_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         groups.alias("g")
         .join(F.broadcast(wide).alias("w"), F.col("g.l_returnflag").eqNullSafe(F.col("w.grp")), "left")
         .select("l_returnflag", "p50", "p90", "q1_qty")
+    )
+
+
+@register(
+    "q_agg_percentile_disc_dist",
+    oracle="""
+SELECT l_linestatus,
+       CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS med_qty,
+       CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) AS p90_price
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    doc=(
+        "EXACT discrete percentiles with BOUNDED memory — identical "
+        "output to q_agg_percentile_disc (same oracle), different "
+        "execution: Spark's percentile_disc aggregate buffers a "
+        "value->count map per group just like exact percentile, so the "
+        "100x survival sweep read 55 s on 10M distinct prices and a "
+        "further scale-up OOMs. Shares _pctl_rank_select with the "
+        "continuous twin; the only difference is the rank definition "
+        "(0-indexed ceil(p*n)-1, the SQL-standard 'smallest value whose "
+        "cumulative distribution >= p') and frac == 0 everywhere, so the "
+        "election returns a stored element bit-for-bit and the result "
+        "hash-matches with no rounding device."
+    ),
+)
+def q_agg_percentile_disc_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    groups = li.groupBy("l_linestatus").agg(F.count(F.lit(1)).alias("__n"))
+    long = (
+        li.select(
+            F.col("l_linestatus").alias("grp"),
+            F.lit("qty").alias("m"),
+            F.col("l_quantity").cast("double").alias("val"),
+        )
+        .unionByName(
+            li.select(
+                F.col("l_linestatus").alias("grp"),
+                F.lit("price").alias("m"),
+                F.col("l_extendedprice").cast("double").alias("val"),
+            )
+        )
+        .filter(F.col("val").isNotNull())
+    )
+    tspec = F.when(
+        F.col("m") == "qty",
+        F.array(F.struct(F.lit(0.5).alias("p"), F.lit("med_qty").alias("nm"))),
+    ).otherwise(
+        F.array(F.struct(F.lit(0.9).alias("p"), F.lit("p90_price").alias("nm")))
+    )
+    picked = _pctl_rank_select(long, tspec, disc=True)
+    wide = picked.groupBy("grp").agg(
+        F.max(F.when(F.col("nm") == "med_qty", F.col("res"))).alias("med_qty"),
+        F.max(F.when(F.col("nm") == "p90_price", F.col("res"))).alias("p90_price"),
+    )
+    return (
+        groups.alias("g")
+        .join(
+            F.broadcast(wide).alias("w"),
+            F.col("g.l_linestatus").eqNullSafe(F.col("w.grp")),
+            "left",
+        )
+        .select("l_linestatus", "med_qty", "p90_price")
     )
 
 

@@ -82,6 +82,10 @@ REQUIRED = {
         ("pass-1 bucket counts partially aggregated map-side", r"partial_count"),
         ("pass-2 filter is a broadcast join to the target buckets", r"BroadcastHashJoin"),
     ],
+    "q_agg_percentile_disc_dist": [
+        ("pass-1 bucket counts partially aggregated map-side", r"partial_count"),
+        ("pass-2 filter is a broadcast join to the target buckets", r"BroadcastHashJoin"),
+    ],
     "q_win_range_between_dist": [
         ("rank windows are per-(status, value-bucket)", r"hashpartitioning\(st[^\n]*bkt"),
         ("distinct-value counts partially aggregated map-side", r"partial_count"),

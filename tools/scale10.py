@@ -55,6 +55,7 @@ SCALE_OPS = [
     "q_join_theta_banded",
     "q_join_theta_cdf",
     "q_agg_percentile_dist",
+    "q_agg_percentile_disc_dist",
     "q_win_range_between_dist",
     "q_llm_curate",
     "q_win_sessionize",
@@ -342,10 +343,22 @@ def main() -> None:
         #   not a plan bug; its two scale shapes ARE timed:
         #   q_agg_approx_percentile (GK sketch, bounded) and
         #   q_agg_percentile_dist (exact histogram rank-selection).
+        # - q_agg_percentile_disc: same buffering aggregate class as
+        #   q_agg_percentile (55 s at 100x, measured; OOMs past that) —
+        #   its bounded-memory twin q_agg_percentile_disc_dist IS timed
+        #   (21.7 s at 100x, identical output and oracle).
+        # - q_win_range_between: the canonical RANGE-frame window form
+        #   PARTITIONs BY the 3-value status column, so at any scale the
+        #   sort runs on at most 3 tasks (761 s at 100x, measured by this
+        #   sweep) — an operator-shape property, not a plan bug. Its
+        #   scale shape q_win_range_between_dist (prefix-sum value-range
+        #   counts, 32-way stages) IS timed: 24 s at 100x.
         skip = {
             "q_join_theta",
             "q_llm_dedup_editdist",
             "q_agg_percentile",
+            "q_agg_percentile_disc",
+            "q_win_range_between",
         } | set(timed)
         timed = sorted(n for n in qs if n not in skip)
     if only_ops is not None:

@@ -53,6 +53,11 @@ BOUNDS: dict[str, tuple[int, str]] = {
         "the value->count buffer the builtin percentile would build "
         "never exists",
     ),
+    "q_agg_percentile_disc_dist": (
+        8 * MB,
+        "same rank-selection machinery as the continuous twin; the "
+        "value->count buffer percentile_disc would build never exists",
+    ),
     "q_join_theta_cdf": (
         4 * MB,
         "only distinct-price counts + two boundary rows per supplier "
