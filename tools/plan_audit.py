@@ -86,6 +86,9 @@ REQUIRED = {
         ("pass-1 bucket counts partially aggregated map-side", r"partial_count"),
         ("pass-2 filter is a broadcast join to the target buckets", r"BroadcastHashJoin"),
     ],
+    "q_llm_dedup_simhash_scaled": [
+        ("candidate self-join pinned shuffle-hash, never broadcast", r"ShuffledHashJoin"),
+    ],
     "q_win_range_between_dist": [
         ("rank windows are per-(status, value-bucket)", r"hashpartitioning\(st[^\n]*bkt"),
         ("distinct-value counts partially aggregated map-side", r"partial_count"),
@@ -272,6 +275,9 @@ FORBIDDEN = {
     ],
     "q_llm_dedup_minhash": [
         ("LSH bucket equi-join, not all-pairs", r"NestedLoop|CartesianProduct"),
+    ],
+    "q_llm_dedup_simhash_scaled": [
+        ("block-triple equi-join, not all-pairs", r"NestedLoop|CartesianProduct"),
     ],
     "q_ts_burst": [
         ("time-band equi-join, not per-user cross join", r"NestedLoop|CartesianProduct"),

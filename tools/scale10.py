@@ -66,6 +66,7 @@ SCALE_OPS = [
     "q_llm_dedup_cluster",
     "q_llm_dedup_cluster_bigstar",
     "q_llm_dedup_simhash",
+    "q_llm_dedup_simhash_scaled",
     "q_udf_simhash_arrow",
     "q_llm_dedup_ngram_jaccard",
     "q_llm_kmeans",

@@ -96,6 +96,11 @@ BOUNDS: dict[str, tuple[int, str]] = {
         24 * MB,
         "xxhash64 band signatures + candidate ids shuffle, not documents",
     ),
+    "q_llm_dedup_simhash_scaled": (
+        64 * MB,
+        "20 block-triple keys + fingerprint per doc shuffle (24-byte "
+        "rows), never document text; candidates are ids only",
+    ),
     "q_llm_pack_sequences": (
         512 * KB,
         "dist_prefix_sum: only bucket METADATA crosses the global exchange",
