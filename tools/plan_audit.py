@@ -89,6 +89,10 @@ REQUIRED = {
     "q_llm_dedup_simhash_scaled": [
         ("candidate self-join pinned shuffle-hash, never broadcast", r"ShuffledHashJoin"),
     ],
+    "q_win_ntile_percent_dist": [
+        ("rank windows are per-(status, value-bucket)", r"hashpartitioning\([^\n]*bkt"),
+        ("bucket counts partially aggregated map-side", r"partial_count"),
+    ],
     "q_win_range_between_dist": [
         ("rank windows are per-(status, value-bucket)", r"hashpartitioning\(st[^\n]*bkt"),
         ("distinct-value counts partially aggregated map-side", r"partial_count"),
