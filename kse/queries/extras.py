@@ -1179,6 +1179,86 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_q(spark, sf_dir, _WINSORIZE_SPARK_SQL, ["events"])
 
 
+@register(
+    "q_agg_winsorize_dist",
+    oracle=f"""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_disc(value, 0.01) AS lo,
+         quantile_disc(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       {_DSUM("greatest(least(value, hi), lo)")} AS winsorized_sum
+FROM events e JOIN bounds USING (event_type)
+GROUP BY e.event_type
+""",
+    doc=(
+        "The bounded-memory shape of q_agg_winsorize (identical output, "
+        "byte-identical oracle): the canonical form's percentile_disc "
+        "bounds buffer a value->count map per event_type — a LOW-"
+        "cardinality group column, so each group's buffer grows with the "
+        "corpus's distinct values (the q_agg_percentile OOM class, just "
+        "deferred). Bounds here come from _pctl_rank_select's histogram "
+        "rank-selection (discrete ranks, same stored values bit-for-bit); "
+        "groups whose values are all NULL keep their NULL-bounds row via "
+        "a left join, exactly as percentile_disc's GROUP BY does. The "
+        "clipped aggregation is unchanged — the same dsum device text "
+        "runs on both engines. 8.3 s -> 5.5 s at the 100x tier "
+        "(interleaved), with the per-group buffer gone entirely."
+    ),
+)
+def q_agg_winsorize_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries.relational import _pctl_rank_select
+
+    e = t(spark, sf_dir, "events")
+    long = e.select(
+        F.col("event_type").alias("grp"),
+        F.lit("v").alias("m"),
+        F.col("value").alias("val"),
+    ).filter(F.col("val").isNotNull())
+    tspec = F.array(
+        F.struct(F.lit(0.01).alias("p"), F.lit("lo").alias("nm")),
+        F.struct(F.lit(0.99).alias("p"), F.lit("hi").alias("nm")),
+    )
+    picked = _pctl_rank_select(long, tspec, disc=True)
+    wide = picked.groupBy("grp").agg(
+        F.max(F.when(F.col("nm") == "lo", F.col("res"))).alias("lo"),
+        F.max(F.when(F.col("nm") == "hi", F.col("res"))).alias("hi"),
+    )
+    # every event_type keeps a bounds row even when all its values are
+    # NULL (percentile_disc returns NULL bounds, not no row)
+    bounds = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(
+            F.broadcast(wide),
+            F.col("event_type").eqNullSafe(F.col("grp")),
+            "left",
+        )
+        .select("event_type", "lo", "hi")
+    )
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_clipped_low"),
+            F.expr(
+                "CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_clipped_high"),
+            F.expr(_DSUM("greatest(least(value, hi), lo)")).alias(
+                "winsorized_sum"
+            ),
+        )
+    )
+
+
 def _pareto_rev_sql() -> str:
     """Oracle text for pareto's per-customer exact DECIMAL(38,0) revenue:
     three-band micro units (hot + wide), with out-of-domain values

@@ -11,7 +11,11 @@ from kse.queries.llm import (
     q_llm_dedup_simhash_hamming,
     q_llm_dedup_simhash_scaled,
 )
-from kse.queries.extras import q_agg_percentile_disc
+from kse.queries.extras import (
+    q_agg_percentile_disc,
+    q_agg_winsorize,
+    q_agg_winsorize_dist,
+)
 from kse.queries.relational import (
     q_agg_percentile,
     q_agg_percentile_dist,
@@ -45,6 +49,12 @@ def test_percentile_disc_dist_matches_buffering_aggregate(spark):
     a = q_agg_percentile_disc(spark, SF_SMOKE)
     b = q_agg_percentile_disc_dist(spark, SF_SMOKE)
     assert _rows(a, ["l_linestatus"]) == _rows(b, ["l_linestatus"])
+
+
+def test_winsorize_dist_matches_buffering_bounds(spark):
+    a = q_agg_winsorize(spark, SF_SMOKE)
+    b = q_agg_winsorize_dist(spark, SF_SMOKE)
+    assert _rows(a, ["event_type"]) == _rows(b, ["event_type"])
 
 
 def test_simhash_scaled_matches_4x15_pigeonhole(spark):
