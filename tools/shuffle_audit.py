@@ -58,6 +58,16 @@ BOUNDS: dict[str, tuple[int, str]] = {
         "same rank-selection machinery as the continuous twin; the "
         "value->count buffer percentile_disc would build never exists",
     ),
+    "q_agg_winsorize_dist": (
+        8 * MB,
+        "rank-selection bounds + clipped partial-agg states shuffle; "
+        "the per-group percentile buffer never exists",
+    ),
+    "q_win_ntile_percent_dist": (
+        16 * MB,
+        "rows shuffle once on (status, value-bucket); bucket offsets "
+        "and group totals are metadata-sized",
+    ),
     "q_join_theta_cdf": (
         4 * MB,
         "only distinct-price counts + two boundary rows per supplier "
