@@ -306,25 +306,28 @@ def main() -> None:
     # the generated dir IS the engine layout (multi-file, micros timestamps)
     catalog._LAYOUTS[dest] = dest
 
-    # events additionally land as a bucketed-by-user_id table (mirroring
-    # prepare_local_layout) so the per-user window ops in SCALE_OPS are
-    # measured on the plan they'd run at 100 TB: zero Exchange, local sort
+    # fact tables additionally land as bucketed tables, mirroring
+    # prepare_local_layout's full _LAYOUT_BUCKETS map (events by user_id
+    # for the per-user window ops; lineitem/orders by orderkey so the
+    # join-heavy ops measure the CO-LOCATED plan they'd run at 100 TB —
+    # bucket-pruned scans, no fact-side Exchange before the join)
     import hashlib
 
     tag = hashlib.md5(dest.encode()).hexdigest()[:8]
-    tbl = f"kse_s10_events_{tag}"
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    (
-        spark.read.parquet(os.path.join(dest, "events.parquet"))
-        .repartition(16, "user_id")
-        .write.mode("overwrite")
-        .format("parquet")
-        .option("path", os.path.join(dest, "events_bucketed"))
-        .bucketBy(16, "user_id")
-        .sortBy("user_id")
-        .saveAsTable(tbl)
-    )
-    catalog._LAYOUT_TABLES[(dest, "events")] = tbl
+    for tname, key in catalog._LAYOUT_BUCKETS.items():
+        tbl = f"kse_s10_{tname}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            spark.read.parquet(os.path.join(dest, f"{tname}.parquet"))
+            .repartition(16, key)
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(dest, f"{tname}_bucketed"))
+            .bucketBy(16, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+        catalog._LAYOUT_TABLES[(dest, tname)] = tbl
 
     def mat(df):
         df.write.mode("overwrite").format("noop").save()
