@@ -1280,9 +1280,7 @@ def _pareto_rev_sql() -> str:
     )
 
 
-@register(
-    "q_agg_pareto",
-    oracle=f"""
+_PARETO_ORACLE = f"""
 WITH rev AS (
   SELECT o_custkey, {_pareto_rev_sql()} AS r
   FROM orders GROUP BY o_custkey
@@ -1299,7 +1297,12 @@ SELECT CAST(min(rn) AS BIGINT) AS n_top_customers,
        {dec_to_double_sql('max(tot)')} AS total_revenue,
        CAST((SELECT count(*) FROM rev) AS BIGINT) AS n_customers
 FROM ranked WHERE cum * 5 >= tot * 4
-""",
+"""
+
+
+@register(
+    "q_agg_pareto",
+    oracle=_PARETO_ORACLE,
     doc=(
         "Pareto concentration: the smallest number of customers whose "
         "revenue covers 80% of the total — the skew diagnostic behind "
@@ -1340,6 +1343,92 @@ def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r").over(Window.partitionBy()).alias("tot"),
     )
     n_cust = rev.agg(F.count("*").cast("bigint").alias("n_customers"))
+    return (
+        ranked.filter(F.col("cum") * 5 >= F.col("tot") * 4)
+        .agg(
+            F.min("rn").cast("bigint").alias("n_top_customers"),
+            dec_to_double(F.max("tot")).alias("total_revenue"),
+        )
+        .crossJoin(F.broadcast(n_cust))
+    )
+
+
+@register(
+    "q_agg_pareto_dist",
+    oracle=_PARETO_ORACLE,
+    doc=(
+        "The distributed-prefix-sum shape q_agg_pareto's docstring "
+        "promises for extreme customer counts (identical output, "
+        "byte-identical oracle): the canonical form's cum-share window "
+        "has NO partition key, so Spark evaluates it in ONE task over "
+        "the whole per-customer table. Here customers bucket by "
+        "floor(revenue / 1e9) — floor is monotone, so descending bucket "
+        "order IS descending revenue order — per-bucket row_number and "
+        "running DECIMAL(38,0) sums run fully parallel, and the "
+        "exclusive count/sum prefixes over the one-row-per-bucket "
+        "metadata (the only unpartitioned window left) turn them "
+        "global. NULL revenues take the Long.MIN bucket, which the "
+        "descending bucket walk visits LAST — mirroring DESC NULLS "
+        "LAST — and the global running sum stays NULL until the first "
+        "non-NULL revenue, exactly as the window's sum does. The 80% "
+        "threshold still compares in exact decimal (cum*5 >= tot*4)."
+    ),
+)
+def q_agg_pareto_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kse.queries._util import dec_to_double, wide_micro
+
+    o = t(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    hot = F.sum(
+        F.when(micro_exact(p), F.floor(p * 1000000.0 + 0.5)).cast("decimal(38,0)")
+    )
+    wide = F.sum(wide_micro(p))
+    zero = F.lit(0).cast("decimal(38,0)")
+    r_dec = F.when(hot.isNull() & wide.isNull(), F.lit(None)).otherwise(
+        F.coalesce(hot, zero) + F.coalesce(wide, zero)
+    )
+    rev = o.groupBy("o_custkey").agg(r_dec.alias("r"))
+    rev = rev.withColumn(
+        "bkt",
+        F.when(F.col("r").isNull(), F.lit(-(2**63))).otherwise(
+            F.floor(F.col("r") / F.lit(1000000000)).cast("long")
+        ),
+    )
+    cnts = rev.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("r").alias("bsum")
+    )
+    w_off = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = cnts.select(
+        "bkt",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("cnt_base"),
+        F.sum("bsum").over(w_off).alias("sum_base"),
+    )
+    tot = rev.agg(F.sum("r").alias("tot"))
+    n_cust = rev.agg(F.count("*").cast("bigint").alias("n_customers"))
+    w_in = Window.partitionBy("bkt").orderBy(
+        F.col("r").desc_nulls_last(), F.col("o_custkey")
+    )
+    ranked = (
+        rev.join(offsets, "bkt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "tot",
+            (F.col("cnt_base") + F.row_number().over(w_in)).alias("rn"),
+            F.col("sum_base").alias("sb"),
+            F.sum("r")
+            .over(w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("ci"),
+        )
+        .withColumn(
+            "cum",
+            F.when(F.col("ci").isNull() & F.col("sb").isNull(), F.lit(None)).otherwise(
+                F.coalesce(F.col("sb"), zero) + F.coalesce(F.col("ci"), zero)
+            ),
+        )
+    )
     return (
         ranked.filter(F.col("cum") * 5 >= F.col("tot") * 4)
         .agg(

@@ -12,6 +12,8 @@ from kse.queries.llm import (
     q_llm_dedup_simhash_scaled,
 )
 from kse.queries.extras import (
+    q_agg_pareto,
+    q_agg_pareto_dist,
     q_agg_percentile_disc,
     q_agg_winsorize,
     q_agg_winsorize_dist,
@@ -49,6 +51,12 @@ def test_percentile_disc_dist_matches_buffering_aggregate(spark):
     a = q_agg_percentile_disc(spark, SF_SMOKE)
     b = q_agg_percentile_disc_dist(spark, SF_SMOKE)
     assert _rows(a, ["l_linestatus"]) == _rows(b, ["l_linestatus"])
+
+
+def test_pareto_dist_matches_global_window(spark):
+    a = q_agg_pareto(spark, SF_SMOKE)
+    b = q_agg_pareto_dist(spark, SF_SMOKE)
+    assert _rows(a, ["n_top_customers"]) == _rows(b, ["n_top_customers"])
 
 
 def test_winsorize_dist_matches_buffering_bounds(spark):
