@@ -57,6 +57,7 @@ SCALE_OPS = [
     "q_agg_percentile_dist",
     "q_agg_percentile_disc_dist",
     "q_agg_winsorize_dist",
+    "q_agg_pareto_dist",
     "q_win_range_between_dist",
     "q_win_ntile_percent_dist",
     "q_llm_curate",
