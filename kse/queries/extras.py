@@ -1371,7 +1371,17 @@ def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "descending bucket walk visits LAST — mirroring DESC NULLS "
         "LAST — and the global running sum stays NULL until the first "
         "non-NULL revenue, exactly as the window's sum does. The 80% "
-        "threshold still compares in exact decimal (cum*5 >= tot*4)."
+        "threshold still compares in exact decimal (cum*5 >= tot*4). "
+        "Measured honestly: at 100x (1.5M customers) the canonical "
+        "single-task window still WINS — 6.4 s vs 8.5 s here — because "
+        "one task sorting 1.5M narrow rows is cheap and the twin pays "
+        "an extra bucket join; the twin's case is the memory bound, not "
+        "this tier's wall clock. The canonical window materializes "
+        "EVERY per-customer row in one task's frame buffer — at "
+        "billions of customers that task spills then dies, while every "
+        "stage here is bounded by bucket width. Same canonical-vs-scale "
+        "split as q_agg_percentile vs _dist: keep the window form until "
+        "the reducer is the bottleneck, then swap."
     ),
 )
 def q_agg_pareto_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
