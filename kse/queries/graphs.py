@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from kse.queries._util import t
 from kse.registry import register
+from kse.session import truncate_lineage
 
 _MIN_COOCCUR = 2  # minimum co-occurring orders for a co-purchase edge
 
@@ -81,7 +82,8 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     edges = _copurchase_edges_from(
         t(spark, sf_dir, "lineitem")
-    ).localCheckpoint(eager=False)
+    )
+    edges = truncate_lineage(edges, eager=False)
     cache[sf_dir] = edges
     return edges
 
@@ -203,7 +205,7 @@ def _pagerank_oracle() -> str:
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edges(spark, sf_dir)
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.localCheckpoint(eager=False)  # lazy: plan build stays side-effect-free
+    sym = truncate_lineage(sym, eager=False)  # lazy: plan build stays side-effect-free
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     n = deg.agg(F.count(F.lit(1)).alias("c"))
     pr = deg.crossJoin(n).select(

@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from kse.queries._util import r4, t
 from kse.registry import register
+from kse.session import truncate_lineage
 
 # ---------------------------------------------------------------------------
 # deduplication
@@ -368,7 +369,7 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    edges = edges.localCheckpoint(eager=True)  # pair generation runs once
+    edges = truncate_lineage(edges)  # pair generation runs once
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -379,7 +380,8 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         )
         new_labels = (
             labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
+        )
+        new_labels = truncate_lineage(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -489,10 +491,11 @@ def bigstar_components(pairs: DataFrame) -> DataFrame:
     edges. Returns (node, label) like min_label_components."""
     edges = _canonical_edges(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    ).localCheckpoint(eager=True)
+    )
+    edges = truncate_lineage(edges)
     max_rounds = 200  # >> log^2(n) for any conceivable n; backstop only
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        nxt = truncate_lineage(_small_star(_large_star(edges)))
         changed = (
             nxt.exceptAll(edges).union(edges.exceptAll(nxt)).limit(1).count()
         )

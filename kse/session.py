@@ -83,3 +83,29 @@ def get_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def truncate_lineage(df, *, eager: bool = True):
+    """Checkpoint ``df`` to truncate its lineage — the per-round discipline
+    of every iterative loop in the engine (min_label_components and
+    bigstar_components in kse/queries/llm.py, the edge memo and PageRank in
+    kse/queries/graphs.py).
+
+    Mode is decided by the session, not the call site: when the
+    SparkContext has a checkpoint directory set
+    (``spark.sparkContext.setCheckpointDir(<cluster store path>)``) the
+    frame is RELIABLY checkpointed to that directory — on a real cluster
+    that's HDFS/object storage, so losing an executor mid-iteration costs
+    one task retry, not the whole multi-round job. Without a checkpoint
+    dir (local mode, tests, the driver harness) it falls back to
+    ``localCheckpoint``, which stores blocks on executor-local disk/memory:
+    fast and fine single-JVM, but NOT durable — an executor loss under
+    localCheckpoint kills the job because the truncated lineage cannot be
+    recomputed. At 100 TB always set a checkpoint dir before running the
+    iterative operators; tests/test_graphs.py proves both modes produce
+    identical results.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -94,3 +94,40 @@ def test_jaccard_neighbors_bounds_and_bruteforce(spark):
         if u < v and len(nbrs[u] & nbrs[v]) >= 2
     }
     assert set(got) == brute
+
+
+def test_truncate_lineage_reliable_mode_identical(spark, tmp_path):
+    """truncate_lineage switches to a RELIABLE checkpoint when the context
+    has a checkpoint dir (the 100 TB posture — executor loss mid-iteration
+    survives), and both modes must produce identical component labels."""
+    from kse.queries.llm import bigstar_components, min_label_components
+    from kse.session import truncate_lineage
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (5, 1)],
+        "doc_a LONG, doc_b LONG",
+    )
+    expect = {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # default: local mode, no dir
+    local_min = {r.node: r.label for r in min_label_components(pairs).collect()}
+    local_big = {r.node: r.label for r in bigstar_components(pairs).collect()}
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        # the helper must now route to a reliable checkpoint: the dir gets
+        # RDD checkpoint files written under it
+        probe = truncate_lineage(spark.range(5).toDF("id"))
+        files = list((tmp_path / "ckpt").rglob("*"))
+        assert any(f.is_file() for f in files), "no reliable checkpoint written"
+        assert probe.count() == 5
+        rel_min = {r.node: r.label for r in min_label_components(pairs).collect()}
+        rel_big = {r.node: r.label for r in bigstar_components(pairs).collect()}
+    finally:
+        none_opt = sc._jvm.scala.Option.apply(None)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(none_opt)
+
+    assert local_min == rel_min == expect
+    assert local_big == rel_big == expect
+    assert sc.getCheckpointDir() is None  # restored for the rest of the suite
