@@ -1524,6 +1524,91 @@ def q_llm_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_token_cms_exact",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+             FROM documents),
+seeds AS (SELECT unnest(range(4)) AS seed),
+sketch AS (
+  SELECT seed,
+         CAST(concat('0x', substr(md5(token || '#' || CAST(seed AS VARCHAR)),
+                                  1, 12)) AS BIGINT) % 4096 AS bucket,
+         count(*) AS c
+  FROM tok, seeds
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT token, count(*) AS exact
+  FROM tok GROUP BY token
+  ORDER BY exact DESC, token LIMIT 20
+),
+pc AS (
+  SELECT token, seed,
+         CAST(concat('0x', substr(md5(token || '#' || CAST(seed AS VARCHAR)),
+                                  1, 12)) AS BIGINT) % 4096 AS bucket
+  FROM probes, seeds
+)
+SELECT token, min(c) AS est_cnt
+FROM pc JOIN sketch USING (seed, bucket)
+GROUP BY token
+""",
+    doc=(
+        "Count-min sketch with a cross-engine hash family — the "
+        "hash-verifiable twin of q_llm_token_cms, following the "
+        "q_agg_sketch_merge_exact pattern: a CMS is a fixed-width array "
+        "of integer counters, so with a hash both engines can compute "
+        "(48-bit md5 prefix via conv(), the minhash-oracle technique) the "
+        "whole sketch AND the min-over-rows estimates are deterministic "
+        "integers that hash-match exactly. Same plan shape as the "
+        "xxhash64 production variant (one aggregation builds the "
+        "depth x width = 4 x 4096 counter table; probes for the exact "
+        "top-20 tokens join it broadcast), so this twin certifies the "
+        "sketch construction while q_llm_token_cms keeps the ~3x cheaper "
+        "JVM-intrinsic hashing under its 5%-tolerance contract."
+    ),
+)
+def q_llm_token_cms_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width, depth = 4096, 4
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+
+    def buckets():
+        # 12 hex chars = 48 bits: exact in BIGINT on both engines
+        return F.array(
+            *[
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.col("token"), F.lit(f"#{s}"))), 1, 12
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(width),
+                )
+                for s in range(depth)
+            ]
+        )
+
+    cells = tok.select(F.posexplode(buckets()).alias("seed", "bucket"))
+    sketch = cells.groupBy("seed", "bucket").agg(F.count("*").alias("c"))
+    probes = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.col("exact").desc(), F.col("token"))
+        .limit(20)
+    )
+    probe_cells = probes.select(
+        "token", F.posexplode(buckets()).alias("seed", "bucket")
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("token")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+
+
+@register(
     "q_llm_char_classes",
     oracle="""
 SELECT doc_id,
