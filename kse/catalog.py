@@ -155,9 +155,11 @@ _LAYOUT_FLOOR = {"documents": 4, "embeddings": 4, "events": 8, "orders": 8}
 # user_id for the same reason applied to WINDOWS: every per-user operator
 # (sessionize, z-score, lead/lag, funnel, EWMA) requires clustering by
 # user_id, which the bucketed scan already satisfies — the window plans
-# with a local sort and zero Exchange. 8-16 buckets ≈ the file-count
-# target above; at 100 TB the same layout targets ~128 MB-1 GB per bucket
-# file instead.
+# with a local sort and zero Exchange. 32 buckets = one per local core
+# (join/window stages over bucketed scans get bucket-count tasks, so 16
+# left half the machine idle — measured at the 10x tier: inner_hash
+# ~515 -> ~440 ms); at 100 TB the same layout targets ~128 MB-1 GB per
+# bucket file instead, and the count scales with the cluster.
 _LAYOUT_BUCKETS = {
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",
@@ -276,6 +278,18 @@ def cache_tables(spark: SparkSession, sf_dir: str) -> float:
 
     t0 = time.perf_counter()
     for name in TABLES:
+        if (sf_dir, name) in _LAYOUT_TABLES:
+            # Never cache a table the layout deliberately BUCKETED:
+            # InMemoryRelation does not preserve the bucketed scan's hash
+            # partitioning, so a cached fact side re-Exchanges in every
+            # co-located join — the cache destroys exactly the locality
+            # the layout paid for (measured under bench conditions:
+            # inner_hash ~258 ms cached-broadcast vs ~225 ms
+            # uncached-co-located SHJ; the cached SHJ path is ~370 ms).
+            # The bucketed files sit in the OS page cache after warm-up,
+            # which is the same warm-buffer posture the cache gives the
+            # small dims.
+            continue
         df = load(spark, sf_dir, name)
         n = _CACHE_PARTS.get(name)
         if n is not None and df.rdd.getNumPartitions() > n:

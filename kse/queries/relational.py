@@ -397,7 +397,18 @@ GROUP BY o_orderpriority
 )
 def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1997-01-01")
+    # shuffle_hash pin: orders is a FACT table — at 100 TB even its
+    # date-filtered slice can't be a driver-built broadcast, and under the
+    # co-located bucket layout (catalog._LAYOUT_BUCKETS: both sides
+    # bucketed on the order key) the hint yields a ZERO-input-Exchange
+    # ShuffledHashJoin with per-partition builds and no sort — measured at
+    # the 10x tier: ~2x faster than letting AQE broadcast the filtered
+    # orders side (the broadcast build is a serial driver subjob per run).
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1997-01-01")
+        .hint("shuffle_hash")
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey, "inner")
         .groupBy("o_orderpriority")
