@@ -29,6 +29,12 @@ REQUIRED = {
         ("partial (map-side) aggregation", r"partial_(sum|count)"),
         ("column pruning reaches parquet", r"ReadSchema: [^\n]*l_returnflag"),
         ("whole-stage codegen", r"\*\(\d+\)"),
+        # the dsum three-band device adds ~5 CASE aggregates per logical
+        # sum; if generated code ever exceeds hugeMethodLimit, Spark
+        # silently drops the HashAggregate out of codegen (no asterisk on
+        # that node) — this catches the fallback the moment a wider
+        # aggregate tips it over
+        ("dsum HashAggregate still codegens", r"\*\(\d+\) HashAggregate"),
     ],
     "q_scan_projection_pushdown": [
         ("pruned ReadSchema", r"ReadSchema: struct<[^>]{0,120}>"),

@@ -293,6 +293,9 @@ def main() -> None:
     only_ops = None
     if "--ops" in sys.argv:
         only_ops = set(sys.argv[sys.argv.index("--ops") + 1].split(","))
+    json_path = None  # --json PATH: machine-readable SCALE_r{N}.json artifact
+    if "--json" in sys.argv:
+        json_path = sys.argv[sys.argv.index("--json") + 1]
     dest = f"/tmp/kse-scale{mult}x"
     spark = get_session("kse-scale10")
     spark.sparkContext.setLogLevel("ERROR")
@@ -422,6 +425,33 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover
         print(f"# duckdb comparison skipped: {exc}")
 
+    if json_path:
+        import json as _json
+
+        payload = {
+            "metric": "scale_tier_best_of_3",
+            "rows_mult": mult,
+            "unit": "sec",
+            "queries": {
+                name: {
+                    "spark": round(spark_t[name], 4),
+                    "duckdb": round(duck_t[name], 4) if name in duck_t else None,
+                    "ratio": round(spark_t[name] / duck_t[name], 3)
+                    if name in duck_t
+                    else None,
+                }
+                for name in timed
+            },
+            "headline_total_spark": round(sum(spark_t[n] for n in HEADLINE), 4)
+            if all(n in spark_t for n in HEADLINE)
+            else None,
+            "headline_total_duckdb": round(
+                sum(duck_t[n] for n in HEADLINE if n in duck_t), 4
+            ),
+        }
+        with open(json_path, "w") as f:
+            f.write(_json.dumps(payload) + "\n")
+        print(f"# wrote {json_path}")
     print(f"| query | spark {mult}x | duckdb {mult}x | ratio |")
     print("| --- | --- | --- | --- |")
     for name in timed:
