@@ -1229,8 +1229,12 @@ def q_agg_winsorize_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("nm") == "lo", F.col("res"))).alias("lo"),
         F.max(F.when(F.col("nm") == "hi", F.col("res"))).alias("hi"),
     )
-    # every event_type keeps a bounds row even when all its values are
-    # NULL (percentile_disc returns NULL bounds, not no row)
+    # the left join preserves a bounds row (NULL lo/hi) for groups whose
+    # VALUES are all NULL — percentile_disc returns NULL bounds, not no
+    # row. A NULL event_type group never reaches the output either way:
+    # the final join below is an inner equi-join on event_type (matching
+    # the oracle's USING join), which drops NULL keys on both engines, so
+    # the eqNullSafe here only keeps the derivation total, not the output
     bounds = (
         e.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -1398,10 +1402,18 @@ def q_agg_pareto_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(hot, zero) + F.coalesce(wide, zero)
     )
     rev = o.groupBy("o_custkey").agg(r_dec.alias("r"))
+    # bucket id via INTEGRAL division (`div`), not decimal `/` + floor:
+    # decimal division depends on spark.sql.decimalOperations.allowPrecisionLoss
+    # (disabled, the widened quotient overflows DECIMAL(38,x) to NULL and
+    # the inner join on bkt would silently drop those customers — r6
+    # advisor finding). `div` on DECIMAL(38,0) is exact integer
+    # arithmetic returning BIGINT under every config, and truncation vs
+    # floor is immaterial here: any map monotone in r partitions the
+    # prefix-sum correctly (within-bucket order stays r desc).
     rev = rev.withColumn(
         "bkt",
         F.when(F.col("r").isNull(), F.lit(-(2**63))).otherwise(
-            F.floor(F.col("r") / F.lit(1000000000)).cast("long")
+            F.expr("r div 1000000000")
         ),
     )
     cnts = rev.groupBy("bkt").agg(

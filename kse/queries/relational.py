@@ -1107,7 +1107,12 @@ def _pctl_rank_select(long: DataFrame, tspec, disc: bool) -> DataFrame:
 
     Input `long` is DataFrame[grp, m, val] with NULL vals already
     dropped; `tspec` is a column expression mapping metric m to
-    array<struct<p double, nm string>> of requested percentiles.
+    array<struct<p double, nm string>> of requested percentiles. The
+    `nm` names must be UNIQUE per metric — each (grp, nm) output row
+    elects exactly one target rank pair, and the final aggregate relies
+    on that one-target-per-name invariant (its frac column is collapsed
+    with a deterministic max(), so a duplicated name would yield a
+    deterministic-but-meaningless blend, not a nondeterministic one).
 
     Pass 1 counts rows per (grp, m, floor(val)) bucket — a spillable
     hash aggregate sized by OCCUPIED buckets, not distinct values — and
@@ -1221,12 +1226,21 @@ def _pctl_rank_select(long: DataFrame, tspec, disc: bool) -> DataFrame:
         .agg(
             F.max(F.when(F.col("rk") == F.col("t.lo_rank"), F.col("val"))).alias("lo"),
             F.max(F.when(F.col("rk") == F.col("t.hi_rank"), F.col("val"))).alias("hi"),
-            F.first("frac").alias("frac"),
+            # every row of this (grp, nm) group carries the SAME frac (one
+            # tspec target per name — tspec contract below); max() instead
+            # of first() so the aggregate stays deterministic even if a
+            # caller ever violated that with duplicate percentile names
+            F.max("frac").alias("frac"),
         )
         .withColumn(
             "res",
+            # convex form lo*(1-f) + hi*f: BIT-IDENTICAL to both Spark's
+            # exact `percentile` and DuckDB's quantile_cont (probed at the
+            # ulp level: the delta form lo + (hi-lo)*f differs in the last
+            # ulp on finite data and turns a -Inf lo into NaN — caught by
+            # the in-suite hostile twin fixture, tests/test_dist_twins.py)
             F.when(F.col("frac") == 0.0, F.col("lo")).otherwise(
-                F.col("lo") + (F.col("hi") - F.col("lo")) * F.col("frac")
+                F.col("lo") * (1.0 - F.col("frac")) + F.col("hi") * F.col("frac")
             ),
         )
     )
@@ -1255,9 +1269,11 @@ FROM lineitem GROUP BY l_returnflag
         "bucket containing each target rank h = (n-1)*p. Pass 2 re-scans "
         "with a broadcast semi-filter to ONLY those buckets (~n/buckets "
         "rows each), ranks within bucket + base offset, and interpolates "
-        "lo + (hi - lo)*frac exactly as percentile_cont defines (frac == 0 "
-        "short-circuits to the element itself so an infinite lo never "
-        "turns Inf - Inf into NaN). The two engines' shared total order "
+        "lo*(1-frac) + hi*frac — the convex form both Spark's percentile "
+        "and DuckDB's quantile_cont compute bit-for-bit (the delta form "
+        "lo + (hi-lo)*frac differs in the last ulp and NaNs on -Inf lo; "
+        "frac == 0 short-circuits to the element itself so an infinite hi "
+        "never turns 0*Inf into NaN). The two engines' shared total order "
         "(NaN last, beyond +Inf) carries through because ranking is an "
         "ORDER BY over the same doubles. Same two-pass "
         "tiny-statistic-then-map-side shape as q_llm_length_filter and "
