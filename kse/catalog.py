@@ -155,11 +155,13 @@ _LAYOUT_FLOOR = {"documents": 4, "embeddings": 4, "events": 8, "orders": 8}
 # user_id for the same reason applied to WINDOWS: every per-user operator
 # (sessionize, z-score, lead/lag, funnel, EWMA) requires clustering by
 # user_id, which the bucketed scan already satisfies — the window plans
-# with a local sort and zero Exchange. 32 buckets = one per local core
-# (join/window stages over bucketed scans get bucket-count tasks, so 16
-# left half the machine idle — measured at the 10x tier: inner_hash
-# ~515 -> ~440 ms); at 100 TB the same layout targets ~128 MB-1 GB per
-# bucket file instead, and the count scales with the cluster.
+# with a local sort and zero Exchange. Bucket count targets PARTITION
+# SIZE, not core count: 16 wins at the sf0.1 bench tier (interleaved
+# A/B vs 32: inner_hash ~154 vs ~166 ms — 32 buckets of ~20k rows are
+# pure task overhead), while at the 10x tier 32 reads ~15% faster
+# (~440 vs ~515 ms, buckets finally big enough to feed every core). At
+# 100 TB the same layout targets ~128 MB-1 GB per bucket file and the
+# count scales with the data, not this constant.
 _LAYOUT_BUCKETS = {
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",
