@@ -2650,6 +2650,9 @@ def q_llm_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_vecs"),
             F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            # cnorm is CONSTANT within each label group (it arrives via the
+            # broadcast equi-join on label), so first() is deterministic
+            # here by construction, not by ordering
             F.round(F.first("cnorm"), 6).alias("centroid_norm"),
         )
     )
