@@ -265,8 +265,10 @@ _CACHE_PARTS = {
 
 
 def cache_tables(spark: SparkSession, sf_dir: str) -> float:
-    """Pin every table in executor memory (deserialized columnar) and route
-    subsequent :func:`load` calls through the pinned relations.
+    """Pin every NON-BUCKETED table in executor memory (deserialized
+    columnar) and route subsequent :func:`load` calls through the pinned
+    relations; tables the layout bucketed are skipped (see the inline
+    comment below — caching would destroy their co-location).
 
     This is the warm-buffer-pool posture the DuckDB comparator already
     enjoys (its warm-up passes leave the parquet pages in the OS cache and
