@@ -1960,7 +1960,7 @@ def q_llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT token,
        count(DISTINCT doc_id) AS doc_freq,
-       list_sort(list(DISTINCT doc_id)) AS postings
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
 FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
 WHERE len(token) >= 6
 GROUP BY token
@@ -1973,7 +1973,11 @@ GROUP BY token
         "(term, partial postings) row per partition, never the corpus. At "
         "100 TB: postings for stop-words would dominate a partition — "
         "filter them (here: short tokens) or range-bucket hot terms; serve "
-        "lookups from the materialized table, not the raw corpus."
+        "lookups from the materialized table, not the raw corpus. Postings "
+        "serialize to a comma-joined string (house rule, registry docstring "
+        "+ q_agg_collect precedent) so the differential hash — and the "
+        "driver's pandas canonicalizer, which cannot factorize list cells "
+        "(CORRECTNESS_r07) — sees a scalar column."
     ),
 )
 def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1984,7 +1988,9 @@ def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(
             F.countDistinct("doc_id").alias("doc_freq"),
-            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+            F.concat_ws(",", F.array_sort(F.collect_set("doc_id"))).alias(
+                "postings"
+            ),
         )
     )
 
@@ -1995,7 +2001,7 @@ def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT token,
        CAST((doc_id - (doc_id % 1000)) // 1000 AS BIGINT) AS shard,
        count(DISTINCT doc_id) AS doc_freq_shard,
-       list_sort(list(DISTINCT doc_id)) AS postings
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
 FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
 WHERE len(token) >= 6
 GROUP BY token, CAST((doc_id - (doc_id % 1000)) // 1000 AS BIGINT)
@@ -2014,7 +2020,9 @@ GROUP BY token, CAST((doc_id - (doc_id % 1000)) // 1000 AS BIGINT)
         "quotient exactly divisible, so Spark's truncating `div` and "
         "DuckDB's flooring `//` agree for negative ids too, with no "
         "float quotient at any magnitude. 7.1 s -> 4.8 s at 100x "
-        "(interleaved; the bounded buffers also sort shorter arrays)."
+        "(interleaved; the bounded buffers also sort shorter arrays). "
+        "Postings serialize to a comma-joined string per the house rule "
+        "(driver's hash canonicalizer needs scalar cells, CORRECTNESS_r07)."
     ),
 )
 def q_llm_inverted_index_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2030,7 +2038,9 @@ def q_llm_inverted_index_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.countDistinct("doc_id").alias("doc_freq_shard"),
-            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+            F.concat_ws(",", F.array_sort(F.collect_set("doc_id"))).alias(
+                "postings"
+            ),
         )
     )
 

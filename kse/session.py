@@ -104,6 +104,17 @@ def truncate_lineage(df, *, eager: bool = True):
     recomputed. At 100 TB always set a checkpoint dir before running the
     iterative operators; tests/test_graphs.py proves both modes produce
     identical results.
+
+    Retention cost of reliable mode: ``df.checkpoint()`` files are NOT
+    deleted when the DataFrame is garbage-collected —
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` defaults to
+    ``false``, so a long iterative run (bigstar_components caps at ~200
+    rounds) accumulates one checkpoint directory per round in the cluster
+    store for the life of the application. Set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` alongside
+    ``setCheckpointDir`` (it must be set at session build time) so the
+    ContextCleaner reaps superseded rounds, or clean the directory after
+    the job; see DESIGN.md "iterative lineage".
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:

@@ -222,6 +222,21 @@ def test_readme_coverage_table_matches_registry():
     readme = open(os.path.join(os.path.dirname(__file__), "..", "README.md")).read()
     table_ids = set(re.findall(r"\| `((?:q|src)_[a-z_0-9]+)` \| `kse", readme))
     assert table_ids == set(registry.queries())
+    # the prose counts sentence drifts too (r7 verdict caught a stale
+    # "209 registered") — pin it to the registry
+    m = re.search(
+        r"(\d+) registered queries: (\d+) DuckDB-oracle-checked, "
+        r"(\d+) tolerance-checked",
+        readme,
+    )
+    assert m, "README counts sentence missing or reworded"
+    qs = registry.all_queries()
+    n_total = len(qs)
+    n_oracle = sum(1 for q in qs.values() if q.oracle is not None)
+    n_tol = sum(
+        1 for q in qs.values() if q.oracle is None and q.check_oracle is not None
+    )
+    assert tuple(map(int, m.groups())) == (n_total, n_oracle, n_tol)
 
 
 def test_cli_list(capsys):

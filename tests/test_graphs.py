@@ -125,9 +125,26 @@ def test_truncate_lineage_reliable_mode_identical(spark, tmp_path):
         rel_min = {r.node: r.label for r in min_label_components(pairs).collect()}
         rel_big = {r.node: r.label for r in bigstar_components(pairs).collect()}
     finally:
-        none_opt = sc._jvm.scala.Option.apply(None)
-        getattr(sc._jsc.sc(), "checkpointDir_$eq")(none_opt)
+        # Restoring "no checkpoint dir" has no public API, so this uses the
+        # private Scala field setter — version-brittle py4j reflection. If
+        # the upstream engine ever renames the field, fail LOUDLY with an
+        # actionable message instead of leaking the tmp_path dir into the
+        # rest of the suite (which would silently flip every later
+        # truncate_lineage call to reliable mode against a deleted dir).
+        try:
+            none_opt = sc._jvm.scala.Option.apply(None)
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(none_opt)
+            restored = sc.getCheckpointDir() is None
+        except Exception as exc:  # pragma: no cover - version drift only
+            raise RuntimeError(
+                "could not clear the session checkpoint dir via the private "
+                "checkpointDir_$eq accessor (Spark renamed the field?); the "
+                "tmp checkpoint dir would leak into the rest of the suite — "
+                "update this restore or move the test to its own session"
+            ) from exc
+        assert restored, (
+            "checkpointDir_$eq no-opped; checkpoint dir leaked into the suite"
+        )
 
     assert local_min == rel_min == expect
     assert local_big == rel_big == expect
-    assert sc.getCheckpointDir() is None  # restored for the rest of the suite

@@ -149,14 +149,19 @@ def test_lsh_ann_deterministic(spark):
 
 def test_inverted_index_invariants(spark):
     """doc_freq must equal the posting-list length (postings are distinct
-    doc ids), and every posting list is strictly sorted."""
+    doc ids), every posting list is strictly sorted, and — the r7 driver
+    lesson — the column reaches the output SERIALIZED (comma-joined
+    string, never a raw array the driver's hash canonicalizer chokes on)."""
     from kse.queries.llm import q_llm_inverted_index
 
-    rows = q_llm_inverted_index(spark, SF_SMOKE).collect()
+    df = q_llm_inverted_index(spark, SF_SMOKE)
+    assert dict(df.dtypes)["postings"] == "string"
+    rows = df.collect()
     assert rows
     for r in rows:
-        assert r.doc_freq == len(r.postings)
-        assert list(r.postings) == sorted(set(r.postings))
+        ids = [int(x) for x in r.postings.split(",")]
+        assert r.doc_freq == len(ids)
+        assert ids == sorted(set(ids))
 
 
 def test_index_lookup_and_semantics(spark):

@@ -148,9 +148,59 @@ def compare_tol(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rel_tol: float)
     return errs
 
 
+def driver_shape(sf_dir: str) -> int:
+    """Strict result-shape gate for the driver's hash surface.
+
+    The driver canonicalizes oracle-paired results with pandas
+    sort_values -> factorize, which cannot hash list/dict cells — an
+    array/map/struct output column errors the driver gate even when the
+    values match (CORRECTNESS_r07: q_llm_inverted_index pair). normalize()
+    above papers over containers so the value comparison still runs
+    locally; this mode closes that gap by asserting every ORACLE-PAIRED
+    query's Spark output schema contains only scalar (atomic) types.
+    Plan-build only — no execution — so it sweeps all queries in seconds.
+    No-oracle queries are exempt (the driver only counts their rows) but
+    reported informationally.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    spark = get_session("kse-shape")
+    qs = registry.all_queries()
+    n_bad = 0
+    for name, q in sorted(qs.items()):
+        try:
+            schema = q.fn(spark, sf_dir).schema
+        except Exception:
+            n_bad += 1
+            print(f"FAIL  {name}: PLAN BUILD ERROR\n{traceback.format_exc()}")
+            continue
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if not bad:
+            continue
+        if q.oracle is not None:
+            n_bad += 1
+            print(
+                f"FAIL  {name}: non-scalar output column(s) {bad} — the "
+                "driver's hash canonicalizer cannot factorize container "
+                "cells; serialize (concat_ws / to_json) per the house rule"
+            )
+        else:
+            print(f"info  {name}: container column(s) {bad} (no-oracle, rows-only)")
+    print(f"\n== driver-shape: {n_bad} violation(s) across {len(qs)} queries ==")
+    return 1 if n_bad else 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--driver-shape"]
+    shape_only = "--driver-shape" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if shape_only:
+        return driver_shape(sf_dir)
+    only = set(args[1:])
     spark = get_session("kse-check")
     con = duck_connect(sf_dir)
     qs = registry.all_queries()

@@ -445,9 +445,15 @@ def main() -> None:
             "headline_total_spark": round(sum(spark_t[n] for n in HEADLINE), 4)
             if all(n in spark_t for n in HEADLINE)
             else None,
+            # same completeness guard as the spark total: if the duckdb
+            # comparison was skipped (import/exception path) or any
+            # HEADLINE query is missing, emit None — never a silent 0.0
+            # or partial sum into a file used for round-over-round diffs
             "headline_total_duckdb": round(
-                sum(duck_t[n] for n in HEADLINE if n in duck_t), 4
-            ),
+                sum(duck_t[n] for n in HEADLINE), 4
+            )
+            if all(n in duck_t for n in HEADLINE)
+            else None,
         }
         with open(json_path, "w") as f:
             f.write(_json.dumps(payload) + "\n")
