@@ -1208,7 +1208,9 @@ GROUP BY e.event_type
         "a left join, exactly as percentile_disc's GROUP BY does. The "
         "clipped aggregation is unchanged — the same dsum device text "
         "runs on both engines. 8.3 s -> 5.5 s at the 100x tier "
-        "(interleaved), with the per-group buffer gone entirely."
+        "(interleaved), with the per-group buffer gone entirely; the r8 "
+        "checkpointed histogram in _pctl_rank_select brings the 10x tier "
+        "from 2.4 s to 1.63 s best-of-3."
     ),
 )
 def q_agg_winsorize_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1976,7 +1978,17 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
         "their numbering are immutable. Oracle = full rebuild over the "
         "whole feed (same SQL as q_sql_scd2): the driver hash-verifies "
         "incremental == rebuild; a pytest proves the same against the "
-        "Spark full build."
+        "Spark full build. Constant-factor pricing (r8, 10x tier): the "
+        "whole op is 1.27 s best-of-3 on a 15k-row feed — ~0.6 s is the "
+        "four filtered feed scans (hist x2 for dim + stored-max-version, "
+        "delta x2 for first-change + new versions), ~0.17 s is 7-job "
+        "dispatch, and the actual data work is negligible; the DuckDB "
+        "comparator full-rebuilds the same 15k rows in ~0.08 s, so the "
+        "headline ratio compares Spark's fixed costs against an "
+        "in-process rebuild, not plan against plan. The op's term is "
+        "O(delta) + O(one dimension pass) vs the rebuild's O(full "
+        "history window) — the crossover is exactly the regime (PB "
+        "dimension, GB delta) it exists for."
     ),
 )
 def q_sql_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2004,6 +2016,17 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
     delta = o.filter(F.col("o_orderdate") >= F.lit(split).cast("date"))
 
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # max version per key = the key's historical row count (versions are
+    # row_numbers), computed as a count over the SAME window partition —
+    # Catalyst fuses it into the one Window node dim already pays for, so
+    # the patched pass below needs no second history scan and no
+    # broadcast join for it (10x tier: 1.53 s -> 1.27 s best-of-3; the
+    # residual is the constant 7-job / 3-scan structure on a change feed
+    # whose data volume, 15k rows, is already negligible — see the
+    # docstring's pricing note).
+    w_full = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     # the standing dimension (what a warehouse would already have on disk)
     dim = hist.select(
         "o_custkey",
@@ -2011,12 +2034,13 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
         F.col("o_orderdate").alias("_from"),
         F.lead("o_orderdate").over(w).alias("_to"),
         F.col("o_totalprice").alias("attr_price"),
+        F.count(F.lit(1)).over(w_full).alias("_max_v"),
     )
 
     # delta-sized per-key lookups: broadcast, never a dimension-wide
-    # shuffle. max version per key needs NO window or dim read: versions
-    # are row_numbers, so the key's max version IS its historical row
-    # count — a plain partial-agg count over the history scan.
+    # shuffle. new_rows still needs the keys' stored max versions — at
+    # 100 TB that's a dim-metadata read; here a plain partial-agg count
+    # over the history scan.
     max_v = hist.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_max_v"))
     first_new = delta.groupBy("o_custkey").agg(
         F.min("o_orderdate").alias("_first_new")
@@ -2030,10 +2054,9 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
     # closed ALL of them at the first delta date while the rebuild keeps
     # the interior NULLs (found by the seeded-fuzz SCD2 property test,
     # r5 verdict item #7 — the by-hand NULL-date find generalized). At
-    # 100 TB this stays one dimension pass with two broadcast lookups.
+    # 100 TB this stays one dimension pass with one broadcast lookup.
     patched = (
         dim.join(F.broadcast(first_new), "o_custkey", "left")
-        .join(F.broadcast(max_v), "o_custkey", "left")
         .select(
             "o_custkey",
             "version",

@@ -167,3 +167,26 @@ def test_twins_agree_on_hostile_fixture(spark, hostile_sf):
         a = _rows_full(canon(spark, hostile_sf))
         b = _rows_full(twin(spark, hostile_sf))
         assert a == b, f"{twin.__name__} diverged from {canon.__name__}: {a} != {b}"
+
+
+def test_pctl_histogram_partial_agg(spark):
+    """Pass 1 of the percentile twins' rank election must combine
+    map-side (partial_count): the final query plan only shows the
+    checkpointed scan of the histogram (PLANS.md asserts that), so the
+    map-side-combine property of the histogram build itself is pinned
+    here, on the pre-checkpoint frame."""
+    from pyspark.sql import functions as F
+
+    from kse.queries.relational import _pctl_bucket, _pctl_histogram
+
+    long = (
+        spark.range(100)
+        .select(
+            (F.col("id") % 3).cast("string").alias("grp"),
+            F.lit("v").alias("m"),
+            (F.col("id") * 1.5).alias("val"),
+        )
+        .withColumn("bkt", _pctl_bucket(F.col("val")))
+    )
+    plan = _pctl_histogram(long)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
