@@ -323,8 +323,10 @@ FROM orders
         "orders them BEFORE equal data values; the frame INCLUDES exact "
         "v-1000 peers). NULL ordering values form their own peer group "
         "on both engines — counted per status in a separate branch and "
-        "unioned in. Measured 24 s at the same 100x tier, 31x, with "
-        "32-way parallel stages throughout."
+        "unioned in. Measured 20.6 s at the same 100x tier (24 s before "
+        "the r8 conditional-aggregation rewrite of the rank join-back; "
+        "vs 761 s for the naive window), 37x, with 32-way parallel "
+        "stages throughout."
     ),
 )
 def q_win_range_between_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,19 +381,21 @@ def q_win_range_between_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.st").eqNullSafe(F.col("f.st")) & (F.col("b.bkt") == F.col("f.bkt")),
     ).select("b.st", "b.val", "b.tie", "b.w", "b.orig", "b.bkt", "f.base")
     merged = merged.withColumn("cum", F.col("base") + F.sum("w").over(w_in))
-    hi = merged.filter(F.col("tie") == 1).select(
-        F.col("st").alias("h_st"), F.col("val").alias("h_val"), F.col("cum").alias("cnt_le")
-    )
-    lo_r = merged.filter(F.col("tie") == 0).select(
-        F.col("st").alias("l_st"), F.col("orig").alias("l_val"), F.col("cum").alias("cnt_lt_lo")
-    )
-    per_val = hi.join(
-        lo_r,
-        F.col("h_st").eqNullSafe(F.col("l_st")) & (F.col("h_val") == F.col("l_val")),
-    ).select(
-        F.col("h_st").alias("st"),
-        F.col("h_val").alias("val"),
-        (F.col("cnt_le") - F.col("cnt_lt_lo")).alias("n_within_1k"),
+    # One conditional aggregation replaces the former hi/lo split +
+    # equi-join-back: every data value v owns exactly two stream rows —
+    # its tie=1 row (cum = count <= v, keyed val=v) and its tie=0 lookup
+    # row (cum = strict count < v-1000, keyed orig=v) — so grouping on
+    # that common key subtracts them directly. The split form consumed
+    # `merged` TWICE (the whole bucketed-window chain re-ran per branch;
+    # no exchange reuse) and then shuffled both halves again for the
+    # self-join. Interleaved median-of-4 at 10x: 5.40 s -> 2.99 s,
+    # values identical on all 1.5M rows.
+    key = F.when(F.col("tie") == 1, F.col("val")).otherwise(F.col("orig"))
+    per_val = merged.groupBy(F.col("st"), key.alias("val")).agg(
+        (
+            F.max(F.when(F.col("tie") == 1, F.col("cum")))
+            - F.max(F.when(F.col("tie") == 0, F.col("cum")))
+        ).alias("n_within_1k")
     )
     # NULL ordering values are all peers of each other: frame = the
     # status's NULL-value rows, same on both engines
@@ -1418,6 +1422,19 @@ def q_agg_pareto_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("r div 1000000000")
         ),
     )
+    # rev feeds FOUR consumers (bucket counts, grand total, customer
+    # count, the ranked join) and exchange reuse does not span them, so
+    # without materialization the per-customer decimal aggregate —
+    # a full orders scan — re-runs per consumer. rev is one row per
+    # customer, ~1000x smaller than the fact table it summarizes;
+    # checkpointing it once is what the oracle's CTE materialization does
+    # too, and at 100 TB trades one keyspace-sized write for three saved
+    # fact scans. 10x tier, interleaved median-of-5: 2.18 s -> 1.84 s
+    # (cold first run 7.6 s -> 3.4 s — the recomputation multiplies the
+    # un-warmed scan cost, which is the 100 TB-relevant reading).
+    from kse.session import truncate_lineage
+
+    rev = truncate_lineage(rev, eager=True)
     cnts = rev.groupBy("bkt").agg(
         F.count(F.lit(1)).alias("c"), F.sum("r").alias("bsum")
     )

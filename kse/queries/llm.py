@@ -3691,8 +3691,21 @@ def bloom_dup_flags(batch: DataFrame, hist: DataFrame) -> DataFrame:
     negatives, so the output equals plain exact containment; the Bloom
     stage only prunes the probe side of the wide exact-key join. Used
     by q_llm_dedup_incremental (batch) and the streaming foreachBatch
-    test (per-micro-batch apply against an accumulating history)."""
-    hist = hist.select("k").distinct()
+    test (per-micro-batch apply against an accumulating history).
+
+    Both inputs materialize once (truncate_lineage): hist feeds the
+    bit-position build AND the exact verify, batch feeds the candidate
+    probe, the verify, and the final flag join — and exchange reuse does
+    not span the diamond, so the lazy form re-derived each (a documents
+    re-scan + tokenize per consumer, 5 scans total). Both frames are
+    key-sized (doc_id + a 5-token prefix), and a REAL incremental
+    pipeline keeps its history key set materialized anyway — that is
+    the thing the daily batch dedups against. 10x tier, interleaved
+    median-of-5: 1.86 s -> 1.46 s (cold 5.1 s -> 2.7 s)."""
+    from kse.session import truncate_lineage
+
+    hist = truncate_lineage(hist.select("k").distinct(), eager=True)
+    batch = truncate_lineage(batch, eager=True)
 
     def positions(df: DataFrame, *keep: str) -> DataFrame:
         pos = F.array_distinct(

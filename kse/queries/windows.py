@@ -116,6 +116,16 @@ def q_win_ntile_percent_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bkt"),
     )
     cnts = rows.groupBy("o_orderstatus", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    # cnts feeds both the bucket offsets and the group totals, and
+    # exchange reuse does not span the two consumers — without
+    # materialization the bucket-count pass (an orders scan + aggregate)
+    # runs twice. Metadata-sized (status x occupied buckets), same
+    # truncate_lineage class as _pctl_rank_select's histogram.
+    # 10x tier, interleaved median-of-4: 2.37 s -> 1.77 s (cold 6.1 ->
+    # 3.8 s).
+    from kse.session import truncate_lineage
+
+    cnts = truncate_lineage(cnts, eager=True)
     w_base = (
         Window.partitionBy("o_orderstatus")
         .orderBy("bkt")

@@ -102,7 +102,11 @@ REQUIRED = {
     ],
     "q_win_ntile_percent_dist": [
         ("rank windows are per-(status, value-bucket)", r"hashpartitioning\([^\n]*bkt"),
-        ("bucket counts partially aggregated map-side", r"partial_count"),
+        # r8: bucket counts execute at build time into a checkpoint (two
+        # consumers, no exchange reuse); map-side combine of the count
+        # aggregate itself is a pinned invariant of the shared histogram
+        # machinery (tests/test_dist_twins.py::test_pctl_histogram_partial_agg)
+        ("bucket counts materialized once (checkpoint scan)", r"Scan ExistingRDD"),
     ],
     "q_win_range_between_dist": [
         ("rank windows are per-(status, value-bucket)", r"hashpartitioning\(st[^\n]*bkt"),
