@@ -302,3 +302,46 @@ def test_comparator_flags_int_float_dtype_drift():
     assert any("dtype" in e for e in errs)
     # like-typed frames stay clean
     assert mod.compare(spark_pdf, spark_pdf.copy()) == []
+
+
+def test_no_recompute_diamond_regression(spark):
+    """The r8 diamond fixes must hold: each fixed operator's executed plan
+    scans its hottest table at most the audited number of times (the full
+    219-query sweep lives in tools/scan_audit.py; this pins the six ops
+    the round actually fixed, cheap enough for the suite)."""
+    import re
+    from collections import Counter
+
+    from kse import registry
+
+    # op -> max scans of any one table after its r8 fix
+    FIXED = {
+        "q_agg_percentile_dist": 2,
+        "q_agg_percentile_disc_dist": 2,
+        "q_agg_pareto_dist": 2,
+        "q_llm_dedup_incremental": 2,
+        "q_win_ntile_percent_dist": 2,
+        "q_win_range_between_dist": 3,
+    }
+    registry.invalidate_plans(spark=spark)
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        qs = registry.all_queries()
+        for name, bound in FIXED.items():
+            plan = (
+                qs[name]
+                .fn(spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            counts = Counter(re.findall(r"file:[^\]\s,]*?/(\w+)\.parquet", plan))
+            worst = max(counts.values(), default=0)
+            assert worst <= bound, (
+                f"{name}: hottest table scanned {worst}x (bound {bound}) — "
+                f"a recompute diamond came back; see tools/scan_audit.py"
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+        registry.invalidate_plans(spark=spark)
