@@ -780,7 +780,23 @@ GROUP BY c_count
         "because custkey is unique on the left), so the join moves one "
         "row per customer, not one per order; no-order customers "
         "coalesce to 0. The histogram over counts shuffles ~dozens of "
-        "distinct values, fully combined map-side."
+        "distinct values, fully combined map-side. Priced constant bound "
+        "(r9, the scd2-style pricing the r8 verdict asked for): at the "
+        "10x tier the whole query reads 385-494 ms while the ISOLATED "
+        "orders agg alone costs 315-415 ms on a vanilla no-config "
+        "SparkSession (same parquet, same box) — >80% of the time is "
+        "Spark's per-row shuffle-agg machinery on a 1.5M-row/150k-group "
+        "shape, not this plan. Alternatives measured and rejected in the "
+        "same session: a custkey-bucketed layout that deletes the agg "
+        "Exchange entirely, 399 ms (the exchange wasn't the cost — task "
+        "CPU is ~119 ms per 94k rows inside the agg itself); semi-join "
+        "plus zero-correction histogram, 697 ms (more stages, more "
+        "dispatch); AQE minPartitionSize coalescing at 4-32 MB, 605-854 "
+        "ms (serializes the reduce). The ~10x ratio vs DuckDB here "
+        "measures DuckDB's perfect-hash agg against the JVM constant at "
+        "toy volume; the r7->r8 'regression' was the comparator moving "
+        "(DuckDB 71.5 -> 51 ms across rounds, Spark flat), the class the "
+        "SCALE canary gate now pins."
     ),
 )
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,7 +883,21 @@ GROUP BY p_brand, p_type, p_size
         "join (the blacklist is tiny); the distinct-count shuffles "
         "(brand, type, size, suppkey) once, then counts per group — the "
         "two-phase distinct that scales, never a per-group set "
-        "collection."
+        "collection. Priced constant bound (r9): at the 10x tier the "
+        "Spark side is FLAT across rounds (390 ms r7, 410-454 ms r9 "
+        "fresh measurements; the committed r8 516 ms was ambient) — the "
+        "r7->r8 ratio jump 5.45x->8.67x was the DuckDB comparator "
+        "drifting 71.5->51 ms, exactly the class the SCALE canary gate "
+        "now re-measures and flags. Task metrics put the time in real "
+        "work: ~111 ms CPU per task for 187k rows through two broadcast "
+        "probes plus the partial distinct (~580 ns/row). Alternatives "
+        "measured and rejected (r9): combo-id integer encoding of the "
+        "(brand,type,size) triple to shrink the shuffle strings, 573 ms "
+        "(the extra tiny-dim distinct and join-back stages cost more "
+        "than the narrower rows save at this volume); distinct "
+        "(partkey,suppkey) pairs before the dim join, 720 ms (second "
+        "shuffle dominates). The single-exchange two-phase distinct "
+        "stands as the 100 TB shape."
     ),
 )
 def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
