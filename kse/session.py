@@ -58,6 +58,11 @@ def get_session(
         # that cast yields NULL and a guard would silently truncate instead
         # of failing loudly.
         .config("spark.sql.ansi.enabled", "true")
+        # Reap superseded iterative-loop checkpoints (truncate_lineage's
+        # reliable mode): cleanCheckpoints defaults to false, which leaks
+        # one checkpoint dir per loop round for the application lifetime.
+        # Must be set at session build time — setting it later is inert.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -109,12 +114,13 @@ def truncate_lineage(df, *, eager: bool = True):
     deleted when the DataFrame is garbage-collected —
     ``spark.cleaner.referenceTracking.cleanCheckpoints`` defaults to
     ``false``, so a long iterative run (bigstar_components caps at ~200
-    rounds) accumulates one checkpoint directory per round in the cluster
-    store for the life of the application. Set
-    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` alongside
-    ``setCheckpointDir`` (it must be set at session build time) so the
-    ContextCleaner reaps superseded rounds, or clean the directory after
-    the job; see DESIGN.md "iterative lineage".
+    rounds) would accumulate one checkpoint directory per round in the
+    cluster store for the life of the application. ``get_session`` now
+    sets ``cleanCheckpoints=true`` in its builder defaults (it must be
+    set at session build time) so the ContextCleaner reaps superseded
+    rounds; sessions built outside ``get_session`` should set it
+    alongside ``setCheckpointDir`` or clean the directory after the job;
+    see DESIGN.md "iterative lineage".
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:

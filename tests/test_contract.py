@@ -331,7 +331,7 @@ def test_no_recompute_diamond_regression(spark):
         for name, bound in FIXED.items():
             plan = (
                 qs[name]
-                .fn(spark, "/root/testdata/sf0.001")
+                .fn(spark, SF_SMOKE)
                 ._jdf.queryExecution()
                 .executedPlan()
                 .toString()

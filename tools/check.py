@@ -158,7 +158,10 @@ def driver_shape(sf_dir: str) -> int:
     above papers over containers so the value comparison still runs
     locally; this mode closes that gap by asserting every ORACLE-PAIRED
     query's Spark output schema contains only scalar (atomic) types.
-    Plan-build only — no execution — so it sweeps all queries in seconds.
+    Mostly plan-build only; the exceptions are the eagerly-checkpointed
+    diamond-fixed queries (their builders call truncate_lineage(eager=True),
+    which executes the checkpointed subtree on sf_dir at build time), so
+    the sweep runs in seconds on the smoke tier rather than being free.
     No-oracle queries are exempt (the driver only counts their rows) but
     reported informationally.
     """

@@ -392,6 +392,46 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         spark_t[name] = best
 
+    # Fixed-cost invariance pin (r8 verdict item #6): scd2_incremental's
+    # docstring prices the op as constant-bound — dispatch + a few
+    # delta/history scans, data work negligible. Make that claim a
+    # regression-pinned fact instead of prose: at the 100x survival tier
+    # the op's ABSOLUTE time must stay under 4x its committed 10x-tier
+    # reading (10x more data at <4x the time = the sublinear signature;
+    # a rebuild-shaped regression would scale ~linearly and trip this).
+    _SCD2 = "q_sql_scd2_incremental"
+    if mult >= 50 and _SCD2 in spark_t:
+        import glob as _glob
+        import json as _json
+
+        _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prior10 = []
+        for p in sorted(_glob.glob(os.path.join(_root, "SCALE_r*.json"))):
+            try:
+                with open(p) as f:
+                    pdata = _json.loads(f.read())
+            except Exception:
+                continue
+            row = (pdata.get("queries") or {}).get(_SCD2)
+            if pdata.get("rows_mult") == 10 and row and row.get("spark"):
+                prior10.append(row["spark"])
+        if prior10:
+            bound = 4 * min(prior10)
+            status = "OK" if spark_t[_SCD2] < bound else "FAIL"
+            print(
+                f"# scd2 fixed-cost invariance: {spark_t[_SCD2]:.2f} s at "
+                f"{mult}x vs best committed 10x reading {min(prior10):.2f} s "
+                f"(bound 4x = {bound:.2f} s) -> {status}"
+            )
+            assert spark_t[_SCD2] < bound, (
+                "q_sql_scd2_incremental lost its fixed-cost shape: "
+                f"{spark_t[_SCD2]:.2f} s at {mult}x vs {min(prior10):.2f} s "
+                "committed at 10x — the apply is scaling with the feed, "
+                "which means a rebuild-shaped scan crept in"
+            )
+        else:
+            print("# scd2 fixed-cost invariance: no committed 10x reading, skipped")
+
     duck_t: dict[str, float] = {}
     if spark_only:
         print("# duckdb comparison skipped: --spark-only")

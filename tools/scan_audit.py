@@ -35,7 +35,7 @@ from kse.session import get_session  # noqa: E402
 # query -> (max scans of any one table, why the repetition is priced)
 WHITELIST: dict[str, tuple[int, str]] = {
     "q_llm_dedup_semantic": (
-        16,
+        15,
         "k-means lineage: init + each Lloyd's round references the vector "
         "scan; the expensive O(n^2/k) stage reads the persist()ed "
         "assignment, never the raw table, and the scans are cheap "
@@ -151,11 +151,19 @@ def main() -> int:
                 "materialize it (truncate_lineage), fuse branches (explode), "
                 "or whitelist with a priced rationale"
             )
-        elif name in WHITELIST and worst_n < THRESHOLD:
+        elif name in WHITELIST and worst_n < bound:
+            # Ratchet (r8 advice): a bound above the measured worst is a
+            # silent allowance for regrowth — flag it even when the plan
+            # still sits above THRESHOLD, so bounds track reality and can
+            # only move down without a priced re-justification.
             n_stale += 1
+            action = (
+                "remove the entry" if worst_n < THRESHOLD
+                else f"ratchet the bound down to {worst_n}"
+            )
             print(
                 f"stale {name}: whitelisted for {bound} scans but the plan "
-                f"now peaks at {worst_n} — remove the entry"
+                f"now peaks at {worst_n} — {action}"
             )
         else:
             n_ok += 1
