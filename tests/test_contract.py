@@ -345,3 +345,41 @@ def test_no_recompute_diamond_regression(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
         registry.invalidate_plans(spark=spark)
+
+
+def test_scale_canary_drift_logic(tmp_path):
+    """The SCALE comparator canary (tools/scale10.canary_check): in-band
+    readings pass untouched, a transient spike is healed by the injected
+    re-measure, and persistent drift is flagged by name with ok=False —
+    pure-python, no Spark/DuckDB needed."""
+    import json
+
+    from tools.scale10 import canary_check, trailing_medians
+
+    # trailing_medians reads only same-tier artifacts and medians per query
+    for i, (mult, dt) in enumerate([(10, 0.040), (10, 0.044), (100, 9.9)]):
+        (tmp_path / f"SCALE_r0{i}.json").write_text(
+            json.dumps({"rows_mult": mult, "queries": {"q": {"duckdb": dt}}})
+        )
+    meds = trailing_medians(str(tmp_path), 10)
+    assert set(meds) == {"q"} and abs(meds["q"] - 0.042) < 1e-12
+
+    # in-band: no re-measure call, no flag
+    calls = []
+    duck = {"q": 0.050}
+    res = canary_check(duck, meds, lambda n: calls.append(n) or 99.0)
+    assert res["ok"] and not res["flagged"] and not calls and duck["q"] == 0.050
+
+    # transient spike: re-measured back in band, healed, still ok
+    duck = {"q": 0.120}
+    res = canary_check(duck, meds, lambda n: 0.041)
+    assert res["ok"] and not res["flagged"] and duck["q"] == 0.041
+
+    # persistent drift (both directions): flagged by name, ok=False,
+    # and the best of original vs re-measure is kept
+    duck = {"q": 0.120}
+    res = canary_check(duck, meds, lambda n: 0.130)
+    assert not res["ok"] and "q" in res["flagged"] and duck["q"] == 0.120
+    duck = {"q": 0.010}
+    res = canary_check(duck, meds, lambda n: 0.011)
+    assert not res["ok"] and res["flagged"]["q"]["drift"] > 1.5

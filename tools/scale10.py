@@ -279,6 +279,75 @@ def synthesize(spark, dest: str, mult: int) -> None:
     w(emb, "embeddings", 4)
 
 
+CANARY_THRESHOLD = 1.5
+
+
+def trailing_medians(repo_root: str, mult: int) -> dict[str, float]:
+    """Per-query median of the DuckDB column across committed SCALE_r*.json
+    artifacts at the same rows_mult — the drift reference for canary_check."""
+    import glob as _glob
+    import json as _json
+    import statistics as _stats
+
+    trailing: dict[str, list[float]] = {}
+    for prior in sorted(_glob.glob(os.path.join(repo_root, "SCALE_r*.json"))):
+        try:
+            with open(prior) as f:
+                pdata = _json.loads(f.read())
+        except Exception:
+            continue
+        if pdata.get("rows_mult") != mult:
+            continue
+        for qname, row in (pdata.get("queries") or {}).items():
+            dt = (row or {}).get("duckdb")
+            if dt:
+                trailing.setdefault(qname, []).append(dt)
+    return {
+        q: _stats.median(v) for q, v in trailing.items() if _stats.median(v) > 0
+    }
+
+
+def canary_check(duck_t, medians, remeasure, threshold=CANARY_THRESHOLD) -> dict:
+    """Drift-check the comparator column in place (r8 verdict item #2).
+
+    A reading that drifts >``threshold``x (either direction) from its
+    trailing-round median is re-measured once via ``remeasure(name)`` (best
+    kept); a reading that STAYS drifted lands in the returned dict's
+    ``flagged`` map so the artifact self-describes which rows are suspect.
+    ``ok`` is True iff no unresolved drift remains. SCALE_r08's 0.67x
+    headline (comparator ballooned 2.6x mid-run) and the phantom r8 q16
+    regression (DuckDB 71.5 -> 51 ms across rounds, Spark flat) are the
+    failure class this closes. Pure function over the timing dicts plus an
+    injected re-measure callback — unit-tested without Spark or DuckDB in
+    tests/test_contract.py."""
+    canary = {"threshold": threshold, "flagged": {}, "ok": True}
+    for name, cur in list(duck_t.items()):
+        med = medians.get(name)
+        if not med:
+            continue
+        if max(cur / med, med / cur) <= threshold:
+            continue
+        rerun = min(cur, remeasure(name))
+        duck_t[name] = rerun
+        if max(rerun / med, med / rerun) > threshold:
+            canary["ok"] = False
+            canary["flagged"][name] = {
+                "duckdb": round(rerun, 4),
+                "trailing_median": round(med, 4),
+                "drift": round(max(rerun / med, med / rerun), 3),
+            }
+            print(
+                f"# CANARY drift persists for {name}: duckdb "
+                f"{rerun*1000:.0f} ms vs trailing median {med*1000:.0f} ms"
+            )
+        else:
+            print(
+                f"# canary re-measured {name}: {cur*1000:.0f} -> "
+                f"{rerun*1000:.0f} ms (trailing median {med*1000:.0f} ms)"
+            )
+    return canary
+
+
 def main() -> None:
     mult = 10
     if "--rows-mult" in sys.argv:
@@ -478,57 +547,13 @@ def main() -> None:
         # drifted is recorded by name in canary.flagged so the artifact
         # self-describes which rows are suspect. canary.ok == true means
         # no unresolved drift anywhere in the comparator column.
-        canary = {"threshold": 1.5, "flagged": {}, "ok": True}
-        trailing: dict[str, list[float]] = {}
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        import glob as _glob
-        import json as _json
-
-        for prior in sorted(_glob.glob(os.path.join(repo_root, "SCALE_r*.json"))):
-            try:
-                with open(prior) as f:
-                    pdata = _json.loads(f.read())
-            except Exception:
-                continue
-            if pdata.get("rows_mult") != mult:
-                continue
-            for qname, row in (pdata.get("queries") or {}).items():
-                dt = (row or {}).get("duckdb")
-                if dt:
-                    trailing.setdefault(qname, []).append(dt)
-        import statistics as _stats
-
-        for name, cur in list(duck_t.items()):
-            if name not in trailing:
-                continue
-            med = _stats.median(trailing[name])
-            if med <= 0:
-                continue
-            drift = max(cur / med, med / cur)
-            if drift <= canary["threshold"]:
-                continue
-            rerun = min(cur, duck_best(name))
-            drift2 = max(rerun / med, med / rerun)
-            duck_t[name] = rerun
-            if drift2 > canary["threshold"]:
-                canary["ok"] = False
-                canary["flagged"][name] = {
-                    "duckdb": round(rerun, 4),
-                    "trailing_median": round(med, 4),
-                    "drift": round(drift2, 3),
-                }
-                print(
-                    f"# CANARY drift persists for {name}: duckdb "
-                    f"{rerun*1000:.0f} ms vs trailing median {med*1000:.0f} ms"
-                )
-            else:
-                print(
-                    f"# canary re-measured {name}: {cur*1000:.0f} -> "
-                    f"{rerun*1000:.0f} ms (trailing median {med*1000:.0f} ms)"
-                )
+        canary = canary_check(
+            duck_t, trailing_medians(repo_root, mult), duck_best
+        )
     except Exception as exc:  # pragma: no cover
         print(f"# duckdb comparison skipped: {exc}")
-        canary = {"threshold": 1.5, "flagged": {}, "ok": False}
+        canary = {"threshold": CANARY_THRESHOLD, "flagged": {}, "ok": False}
 
     if json_path:
         import json as _json
