@@ -1229,7 +1229,8 @@ GROUP BY e.event_type
         "runs on both engines. 8.3 s -> 5.5 s at the 100x tier "
         "(interleaved), with the per-group buffer gone entirely; the r8 "
         "checkpointed histogram in _pctl_rank_select brings the 10x tier "
-        "from 2.4 s to 1.63 s best-of-3."
+        "from 2.4 s to 1.63 s best-of-3; r9 drops the group-enumeration "
+        "scan (3 events passes -> 2), see the join-shape note below."
     ),
 )
 def q_agg_winsorize_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1250,24 +1251,21 @@ def q_agg_winsorize_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("nm") == "lo", F.col("res"))).alias("lo"),
         F.max(F.when(F.col("nm") == "hi", F.col("res"))).alias("hi"),
     )
-    # the left join preserves a bounds row (NULL lo/hi) for groups whose
-    # VALUES are all NULL — percentile_disc returns NULL bounds, not no
-    # row. A NULL event_type group never reaches the output either way:
-    # the final join below is an inner equi-join on event_type (matching
-    # the oracle's USING join), which drops NULL keys on both engines, so
-    # the eqNullSafe here only keeps the derivation total, not the output
-    bounds = (
-        e.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("__n"))
+    # Join shape: the oracle's bounds CTE (GROUP BY event_type) holds every
+    # non-null group key — including all-NULL-value groups with NULL lo/hi —
+    # and its USING equi-join drops NULL event_type rows. So fact INNER JOIN
+    # all-groups-bounds ≡ fact.filter(event_type IS NOT NULL) LEFT JOIN
+    # non-null-bounds: groups absent from the histogram (values all NULL)
+    # surface with NULL lo/hi either way, and NULL keys reach the output in
+    # neither. The left join spares a full events pass whose only purpose
+    # was enumerating group keys (r9; scan audit 3 -> 2 events scans).
+    return (
+        e.filter(F.col("event_type").isNotNull())
         .join(
             F.broadcast(wide),
-            F.col("event_type").eqNullSafe(F.col("grp")),
+            F.col("event_type") == F.col("grp"),
             "left",
         )
-        .select("event_type", "lo", "hi")
-    )
-    return (
-        e.join(F.broadcast(bounds), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -2529,30 +2529,42 @@ FROM kept GROUP BY lang, source
         "End-to-end corpus curation — the composite a training-data "
         "pipeline actually ships: language keep-list + length/token "
         "quality gates (pure pushdown-friendly filters, map-only) → exact "
-        "dedup keeping the lowest doc_id per text (WindowGroupLimit: "
-        "per-partition top-1 before the shuffle) → per-(lang, source) "
-        "yield report with document counts and token budget. One shuffle "
-        "for the dedup, one (partial-aggregated) for the report; every "
-        "stage upstream of the dedup is embarrassingly parallel, so the "
-        "composition inherits each stage's 100 TB posture. The yield "
-        "report is what a data engineer reads to decide mixing weights."
+        "dedup keeping the lowest doc_id per text → per-(lang, source) "
+        "yield report with document counts and token budget. The dedup is "
+        "min_by(attrs-struct, doc_id) grouped by text — identical row to "
+        "the oracle's row_number()=1 (doc_id is unique); partial_min_by "
+        "collapses duplicate texts map-side before the shuffle (as the "
+        "previous WindowGroupLimit plan also did) but replaces its "
+        "post-shuffle Window + rn-filter passes with the aggregate "
+        "itself — measured 10% at 10x (0.486 vs 0.537 s best-of-3 "
+        "interleaved; the struct buffer keeps it a SortAggregate, and a "
+        "hash-prefixed group-key variant measured no better, 0.501 s; "
+        "values bit-identical across all three). One shuffle for the "
+        "dedup, one (partial-aggregated) for "
+        "the report; every stage upstream of the dedup is embarrassingly "
+        "parallel, so the composition inherits each stage's 100 TB "
+        "posture. The yield report is what a data engineer reads to "
+        "decide mixing weights."
     ),
 )
 def q_llm_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = t(spark, sf_dir, "documents")
     gated = d.filter(
         F.col("lang").isin("en", "de", "es", "fr")
         & F.col("n_chars").between(50, 550)
     ).withColumn("n_tokens", F.size(F.split("text", " ")))
     gated = gated.filter(F.col("n_tokens") >= 8)
-    w = Window.partitionBy("text").orderBy("doc_id")
-    kept = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return kept.groupBy("lang", "source").agg(
+    kept = gated.groupBy("text").agg(
+        F.min_by(
+            F.struct("lang", "source", "n_chars", "n_tokens"), F.col("doc_id")
+        ).alias("r")
+    )
+    return kept.groupBy(
+        F.col("r.lang").alias("lang"), F.col("r.source").alias("source")
+    ).agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
-        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.sum(F.col("r.n_tokens").cast("bigint")).alias("total_tokens"),
+        F.round(F.avg(F.col("r.n_chars").cast("double")), 4).alias("avg_chars"),
     )
 
 

@@ -314,11 +314,13 @@ def test_no_recompute_diamond_regression(spark):
 
     from kse import registry
 
-    # op -> max scans of any one table after its r8 fix
+    # op -> max scans of any one table after its r8 fix (r9: winsorize_dist
+    # joined the fixed set — the group-enumeration events pass is gone)
     FIXED = {
         "q_agg_percentile_dist": 2,
         "q_agg_percentile_disc_dist": 2,
         "q_agg_pareto_dist": 2,
+        "q_agg_winsorize_dist": 2,
         "q_llm_dedup_incremental": 2,
         "q_win_ntile_percent_dist": 2,
         "q_win_range_between_dist": 3,

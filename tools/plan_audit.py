@@ -116,7 +116,8 @@ REQUIRED = {
         ("doc cumsum window is per-bucket (hash exchange)", r"hashpartitioning\(bkt"),
     ],
     "q_llm_curate": [
-        ("dedup via WindowGroupLimit", r"WindowGroupLimit"),
+        ("dedup aggregates min_by per text, not a row_number window", r"Aggregate\(key=\[text[^\n]*min_by"),
+        ("duplicate texts collapse map-side", r"partial_min_by"),
         ("yield report partially aggregated map-side", r"partial_(count|sum|avg)"),
     ],
     "q_scan_partition_prune": [

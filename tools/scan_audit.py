@@ -104,11 +104,6 @@ WHITELIST: dict[str, tuple[int, str]] = {
         "per-source counts (two statistic passes) + the sampled "
         "projection; statistics are metadata-sized aggregates",
     ),
-    "q_agg_winsorize_dist": (
-        3,
-        "bounds election (checkpointed histogram) + group counts + the "
-        "clipped aggregate — one pass per stage, priced in the docstring",
-    ),
     "q_win_range_between_dist": (
         3,
         "distinct-value aggregate + NULL-peer branch + final join-back — "
