@@ -385,3 +385,32 @@ def test_scale_canary_drift_logic(tmp_path):
     duck = {"q": 0.010}
     res = canary_check(duck, meds, lambda n: 0.011)
     assert not res["ok"] and res["flagged"]["q"]["drift"] > 1.5
+
+
+def test_trailing_medians_excludes_invalid_comparator_columns(tmp_path):
+    """An invalidated comparator column must never feed the trailing
+    reference (the first r9 run's 12 phantom flags were r8's ballooned
+    column dragging the median up): by-name exclusions and artifacts
+    self-marked canary_ok=false are both skipped."""
+    import json
+
+    from tools.scale10 import trailing_medians
+
+    # three same-tier artifacts: clean, by-name-excluded, self-invalidated
+    (tmp_path / "SCALE_r07.json").write_text(
+        json.dumps({"rows_mult": 10, "queries": {"q": {"duckdb": 0.040}}})
+    )
+    (tmp_path / "SCALE_r08.json").write_text(  # in EXCLUDED_COMPARATOR_COLUMNS
+        json.dumps({"rows_mult": 10, "queries": {"q": {"duckdb": 9.0}}})
+    )
+    (tmp_path / "SCALE_r09.json").write_text(
+        json.dumps(
+            {
+                "rows_mult": 10,
+                "canary_ok": False,
+                "queries": {"q": {"duckdb": 7.0}},
+            }
+        )
+    )
+    meds = trailing_medians(str(tmp_path), 10)
+    assert abs(meds["q"] - 0.040) < 1e-12, meds

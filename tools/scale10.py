@@ -281,22 +281,41 @@ def synthesize(spark, dest: str, mult: int) -> None:
 
 CANARY_THRESHOLD = 1.5
 
+# Comparator columns EXCLUDED from the trailing-median reference. An
+# invalid column that stays in the reference poisons every later round's
+# canary: the first r9 run flagged 12 queries whose readings sat within
+# 1.3x of r7 — they only looked drifted because r8's ballooned column
+# (declared "flattering noise ... the comparator ballooned 2.6x mid-run"
+# by the r8 verdict, 2-10x above BOTH its r7 and r9 neighbours on 10 of
+# the 12) had dragged the median up. Two rules keep the reference clean:
+# a by-name list for pre-canary artifacts invalidated after the fact,
+# and any artifact that self-recorded canary_ok=false (conservative: such
+# a column MAY be fine when the flags came from a polluted reference,
+# but one lost sample beats re-poisoning the median).
+EXCLUDED_COMPARATOR_COLUMNS = {"SCALE_r08.json"}
+
 
 def trailing_medians(repo_root: str, mult: int) -> dict[str, float]:
     """Per-query median of the DuckDB column across committed SCALE_r*.json
-    artifacts at the same rows_mult — the drift reference for canary_check."""
+    artifacts at the same rows_mult — the drift reference for canary_check.
+    Skips artifacts in EXCLUDED_COMPARATOR_COLUMNS and artifacts whose own
+    run recorded canary_ok=false (see the exclusion note above)."""
     import glob as _glob
     import json as _json
     import statistics as _stats
 
     trailing: dict[str, list[float]] = {}
     for prior in sorted(_glob.glob(os.path.join(repo_root, "SCALE_r*.json"))):
+        if os.path.basename(prior) in EXCLUDED_COMPARATOR_COLUMNS:
+            continue
         try:
             with open(prior) as f:
                 pdata = _json.loads(f.read())
         except Exception:
             continue
         if pdata.get("rows_mult") != mult:
+            continue
+        if pdata.get("canary_ok") is False:
             continue
         for qname, row in (pdata.get("queries") or {}).items():
             dt = (row or {}).get("duckdb")
