@@ -386,6 +386,18 @@ def test_scale_canary_drift_logic(tmp_path):
     res = canary_check(duck, meds, lambda n: 0.011)
     assert not res["ok"] and res["flagged"]["q"]["drift"] > 1.5
 
+    # engine column (flag_down=False): downward drift is a plan
+    # improvement — recorded informationally, never re-measured, never
+    # fails the canary; upward drift still flags exactly as above
+    calls = []
+    sp = {"q": 0.010}
+    res = canary_check(sp, meds, lambda n: calls.append(n) or 0.011, flag_down=False, label="spark")
+    assert res["ok"] and not res["flagged"] and not calls and sp["q"] == 0.010
+    assert res["improved"]["q"]["spark"] == 0.010
+    sp = {"q": 0.120}
+    res = canary_check(sp, meds, lambda n: 0.130, flag_down=False, label="spark")
+    assert not res["ok"] and res["flagged"]["q"]["spark"] == 0.120
+
 
 def test_trailing_medians_excludes_invalid_comparator_columns(tmp_path):
     """An invalidated comparator column must never feed the trailing
@@ -398,19 +410,47 @@ def test_trailing_medians_excludes_invalid_comparator_columns(tmp_path):
 
     # three same-tier artifacts: clean, by-name-excluded, self-invalidated
     (tmp_path / "SCALE_r07.json").write_text(
-        json.dumps({"rows_mult": 10, "queries": {"q": {"duckdb": 0.040}}})
+        json.dumps(
+            {"rows_mult": 10, "queries": {"q": {"duckdb": 0.040, "spark": 0.1}}}
+        )
     )
-    (tmp_path / "SCALE_r08.json").write_text(  # in EXCLUDED_COMPARATOR_COLUMNS
-        json.dumps({"rows_mult": 10, "queries": {"q": {"duckdb": 9.0}}})
+    (tmp_path / "SCALE_r08.json").write_text(  # duckdb column in EXCLUDED_COLUMNS
+        json.dumps(
+            {"rows_mult": 10, "queries": {"q": {"duckdb": 9.0, "spark": 0.3}}}
+        )
     )
     (tmp_path / "SCALE_r09.json").write_text(
         json.dumps(
             {
                 "rows_mult": 10,
-                "canary_ok": False,
-                "queries": {"q": {"duckdb": 7.0}},
+                "canary_ok": False,  # legacy whole-artifact flag
+                "queries": {"q": {"duckdb": 7.0, "spark": 8.0}},
             }
         )
     )
     meds = trailing_medians(str(tmp_path), 10)
     assert abs(meds["q"] - 0.040) < 1e-12, meds
+
+    # per-column: the by-name exclusion names only r08's DUCKDB column, so
+    # its spark reading still counts; r09's legacy canary_ok=False only
+    # condemns its duckdb column (the flag predates the spark canary)
+    smeds = trailing_medians(str(tmp_path), 10, "spark")
+    assert abs(smeds["q"] - 0.3) < 1e-12, smeds  # median of 0.1, 0.3, 8.0
+
+    # a per-column canary dict overrides the legacy flag: duckdb ok,
+    # spark failed
+    (tmp_path / "SCALE_r10.json").write_text(
+        json.dumps(
+            {
+                "rows_mult": 10,
+                "canary_ok": False,
+                "canary": {"ok": True},
+                "canary_spark": {"ok": False},
+                "queries": {"q": {"duckdb": 0.044, "spark": 9.9}},
+            }
+        )
+    )
+    meds = trailing_medians(str(tmp_path), 10)
+    assert abs(meds["q"] - 0.042) < 1e-12, meds  # median of 0.040, 0.044
+    smeds = trailing_medians(str(tmp_path), 10, "spark")
+    assert abs(smeds["q"] - 0.3) < 1e-12, smeds  # r10 spark excluded
