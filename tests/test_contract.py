@@ -398,6 +398,19 @@ def test_scale_canary_drift_logic(tmp_path):
     res = canary_check(sp, meds, lambda n: 0.130, flag_down=False, label="spark")
     assert not res["ok"] and res["flagged"]["q"]["spark"] == 0.120
 
+    # absolute noise floor: a dispatch-floor reading 1.6x off a tiny
+    # median (6 ms apart) is timer jitter, not drift — in-band with no
+    # re-measure; the same ratio past the floor still flags
+    calls = []
+    duck = {"q": 0.048}  # 6 ms from the 0.042 median, ratio > 1.1
+    res = canary_check(
+        duck, meds, lambda n: calls.append(n) or 9.9, threshold=1.1
+    )
+    assert res["ok"] and not res["flagged"] and not calls
+    duck = {"q": 0.090}  # 48 ms from the median: past the floor, flags
+    res = canary_check(duck, meds, lambda n: 0.091, threshold=1.1)
+    assert not res["ok"] and "q" in res["flagged"]
+
 
 def test_trailing_medians_excludes_invalid_comparator_columns(tmp_path):
     """An invalidated comparator column must never feed the trailing

@@ -347,6 +347,7 @@ def canary_check(
     threshold=CANARY_THRESHOLD,
     label="duckdb",
     flag_down=True,
+    floor_abs=0.010,
 ) -> dict:
     """Drift-check one timing column in place (r8 verdict item #2; run on
     BOTH columns since r9 — the engine side drifts too, see canary_spark).
@@ -367,11 +368,20 @@ def canary_check(
     down — and only records it informationally in ``improved``; upward
     drift (ambient load, JIT cold start, a plan regression) still
     re-measures and flags. The comparator keeps both directions suspect:
-    its engine never changes between rounds."""
+    its engine never changes between rounds.
+
+    ``floor_abs``: readings within this many SECONDS of their median are
+    in-band regardless of ratio — a 1.5x RATIO gate on a dispatch-floor
+    reading flags pure timer jitter (the third r9 run's only "drift" was
+    domain_cap's comparator at 17 vs 11 ms: 1.6x, six milliseconds). A
+    genuine balloon on a tiny query still flags the moment it exceeds
+    the floor in absolute terms."""
     canary = {"threshold": threshold, "flagged": {}, "ok": True}
     for name, cur in list(col_t.items()):
         med = medians.get(name)
         if not med:
+            continue
+        if abs(cur - med) < floor_abs:
             continue
         if max(cur / med, med / cur) <= threshold:
             continue
