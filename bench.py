@@ -210,6 +210,7 @@ def main() -> None:
     import tempfile
 
     stream_best = float("inf")
+    stream_samples: list = []
     n_events = 0
     staged_dir = None  # degraded-mode symlink dir; removed in the finally
     try:
@@ -250,9 +251,14 @@ def main() -> None:
                 os.path.join(events_dir, "part-00000.parquet"),
             )
         n_events = spark.read.parquet(events_dir).count()
-        # best-of-3: the first drain pays streaming-plan codegen (~3.5x
-        # slower, measured in tools/stream_profile.py) — with only 2 runs
-        # the reported number sometimes lands between cold and warm
+        # best-of-5 with the median recorded alongside — the same
+        # discipline as the query leg. The first drain pays streaming-plan
+        # codegen (~3.5x slower, tools/stream_profile.py); with best-of-3
+        # the committed number still landed under the quiet-box reading
+        # two rounds running (r8 94.9k, r9 98.9k vs in-round 122-131k
+        # ev/s) whenever ambient load touched 2 of the 3 drains. Five
+        # samples make one quiet drain near-certain, and the median makes
+        # a lucky-outlier best self-evident in the artifact.
         #
         # The per-run checkpoint + JSONL index are DISCARDED (fresh dirs
         # every run, rmtree in the finally), so their durability is not
@@ -264,7 +270,7 @@ def main() -> None:
         # which is disk noise, not pipeline throughput.
         _shm = "/dev/shm"
         _stream_tmp = _shm if os.path.isdir(_shm) and os.access(_shm, os.W_OK) else None
-        for _ in range(3):
+        for _ in range(5):
             workdir = tempfile.mkdtemp(prefix="kse-bench-stream-", dir=_stream_tmp)
             try:
                 t0 = time.perf_counter()
@@ -278,7 +284,8 @@ def main() -> None:
                     max_files_per_trigger=None,
                 )
                 q.awaitTermination()
-                stream_best = min(stream_best, time.perf_counter() - t0)
+                stream_samples.append(time.perf_counter() - t0)
+                stream_best = min(stream_best, stream_samples[-1])
             finally:
                 shutil.rmtree(workdir, ignore_errors=True)
     except Exception as exc:
@@ -301,6 +308,11 @@ def main() -> None:
         "cache_s": round(cache_s, 2),
         "dispatch_floor_s": round(floor, 4),
         "streaming_pipeline_s": round(stream_best, 4),
+        "streaming_pipeline_median_s": (
+            round(sorted(stream_samples)[len(stream_samples) // 2], 4)
+            if stream_samples
+            else -1.0
+        ),
         "streaming_events_per_sec": int(n_events / stream_best) if stream_best > 0 else -1,
     }
     if errors:

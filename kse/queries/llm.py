@@ -2532,7 +2532,12 @@ FROM kept GROUP BY lang, source
         "dedup keeping the lowest doc_id per text → per-(lang, source) "
         "yield report with document counts and token budget. The dedup is "
         "min_by(attrs-struct, doc_id) grouped by text — identical row to "
-        "the oracle's row_number()=1 (doc_id is unique); partial_min_by "
+        "the oracle's row_number()=1 (doc_id is unique; note min_by also "
+        "DEPENDS on doc_id being non-null within every text group — "
+        "min_by ignores NULL ordering keys, so an all-NULL-doc_id group "
+        "would vanish where row_number keeps a row; the generator "
+        "guarantees non-null unique doc_id, same contract q_llm_dedup_"
+        "exact already leans on); partial_min_by "
         "collapses duplicate texts map-side before the shuffle (as the "
         "previous WindowGroupLimit plan also did) but replaces its "
         "post-shuffle Window + rn-filter passes with the aggregate "

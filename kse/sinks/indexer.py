@@ -145,9 +145,12 @@ class EsBulkIndexer:
                     if len(buf) >= 2 * bulk_size:
                         flush()
                 flush()
-                return []
 
-            batch_df.rdd.mapPartitions(send_partition).count()
+            # foreachPartition, not rdd.mapPartitions(...).count(): same
+            # per-partition bulk with bounded buffers, but expressed as
+            # the DataFrame action it is — no legacy RDD job spun up per
+            # micro-batch just to force evaluation.
+            batch_df.foreachPartition(send_partition)
 
         return _write
 

@@ -377,14 +377,23 @@ def test_scale_canary_drift_logic(tmp_path):
     res = canary_check(duck, meds, lambda n: 0.041)
     assert res["ok"] and not res["flagged"] and duck["q"] == 0.041
 
+    # transient too-fast glitch: a confirmed-normal re-measure heals it
+    # (direction-aware keep — the old min() could never heal down-drift,
+    # the r10 advisor's medium finding)
+    duck = {"q": 0.010}
+    res = canary_check(duck, meds, lambda n: 0.041)
+    assert res["ok"] and not res["flagged"] and duck["q"] == 0.041
+
     # persistent drift (both directions): flagged by name, ok=False,
-    # and the best of original vs re-measure is kept
+    # and the direction-appropriate reading is kept (up: best, down:
+    # worst — both still out of band here)
     duck = {"q": 0.120}
     res = canary_check(duck, meds, lambda n: 0.130)
     assert not res["ok"] and "q" in res["flagged"] and duck["q"] == 0.120
     duck = {"q": 0.010}
     res = canary_check(duck, meds, lambda n: 0.011)
     assert not res["ok"] and res["flagged"]["q"]["drift"] > 1.5
+    assert duck["q"] == 0.011  # worst-of kept for down-drift
 
     # engine column (flag_down=False): downward drift is a plan
     # improvement — recorded informationally, never re-measured, never
@@ -467,3 +476,27 @@ def test_trailing_medians_excludes_invalid_comparator_columns(tmp_path):
     assert abs(meds["q"] - 0.042) < 1e-12, meds  # median of 0.040, 0.044
     smeds = trailing_medians(str(tmp_path), 10, "spark")
     assert abs(smeds["q"] - 0.3) < 1e-12, smeds  # r10 spark excluded
+
+    # per-QUERY invalidation (r10 advisor): a failed canary that NAMES
+    # its suspect rows condemns only those — the un-flagged readings of
+    # the same column still feed the reference instead of draining the
+    # pool to a single round
+    (tmp_path / "SCALE_r11.json").write_text(
+        json.dumps(
+            {
+                "rows_mult": 10,
+                "canary_ok": False,
+                "canary": {"ok": False, "flagged": {"q": {"drift": 3.0}}},
+                "canary_spark": {"ok": True},
+                "queries": {
+                    "q": {"duckdb": 5.0, "spark": 0.2},
+                    "q2": {"duckdb": 0.060, "spark": 0.5},
+                },
+            }
+        )
+    )
+    meds = trailing_medians(str(tmp_path), 10)
+    assert abs(meds["q"] - 0.042) < 1e-12, meds  # r11's flagged q excluded
+    assert abs(meds["q2"] - 0.060) < 1e-12, meds  # r11's clean q2 counts
+    smeds = trailing_medians(str(tmp_path), 10, "spark")
+    assert abs(smeds["q"] - 0.25) < 1e-12, smeds  # r11 spark clean: 0.1,0.2,0.3,8.0

@@ -292,19 +292,29 @@ CANARY_THRESHOLD = 1.5
 EXCLUDED_COLUMNS = {("SCALE_r08.json", "duckdb")}
 
 
-def _column_invalid(pdata: dict, column: str) -> bool:
-    """True when the artifact's own run recorded this column's canary as
-    failed — conservative (a column MAY be fine when its flags came from
-    a polluted reference) but one lost sample beats re-poisoning the
-    median for every later round. Legacy artifacts (no per-column canary
-    dict) fall back to the whole-artifact canary_ok flag for the duckdb
-    column — that flag described only the comparator before r9."""
+def _excluded_names(pdata: dict, column: str) -> set[str] | None:
+    """Query names to drop from ``column``'s trailing reference for this
+    artifact. A failed canary names its suspect rows in ``flagged`` —
+    exclude exactly those and keep the rest: the un-flagged readings
+    passed the same drift check as a fully-green run's, and dropping the
+    whole column (the pre-r10 behavior) drained the reference pool — with
+    r8's duckdb column excluded by name and both r9 columns
+    self-invalidated, the 10x duckdb reference had reduced to r7 alone
+    (the r10 advisor's finding). Returns None for "whole column invalid":
+    legacy artifacts (no per-column canary dict) whose whole-artifact
+    canary_ok flag is False carry no per-query map, and a failed canary
+    dict with an empty/missing flagged map names nothing, so everything
+    stays suspect."""
     key = "canary" if column == "duckdb" else "canary_spark"
     if key in pdata:
-        return (pdata.get(key) or {}).get("ok") is False
-    if column == "duckdb":
-        return pdata.get("canary_ok") is False
-    return False
+        c = pdata.get(key) or {}
+        if c.get("ok") is False:
+            flagged = c.get("flagged")
+            return set(flagged) if flagged else None
+        return set()
+    if column == "duckdb" and pdata.get("canary_ok") is False:
+        return None
+    return set()
 
 
 def trailing_medians(
@@ -312,8 +322,9 @@ def trailing_medians(
 ) -> dict[str, float]:
     """Per-query median of ``column`` across committed SCALE_r*.json
     artifacts at the same rows_mult — the drift reference for
-    canary_check. Skips (artifact, column) pairs in EXCLUDED_COLUMNS and
-    columns whose own run recorded a failed canary (_column_invalid)."""
+    canary_check. Skips (artifact, column) pairs in EXCLUDED_COLUMNS and,
+    per query, the rows a failed canary named in its flagged map
+    (_excluded_names; whole column only when no per-query map exists)."""
     import glob as _glob
     import json as _json
     import statistics as _stats
@@ -329,9 +340,12 @@ def trailing_medians(
             continue
         if pdata.get("rows_mult") != mult:
             continue
-        if _column_invalid(pdata, column):
+        bad = _excluded_names(pdata, column)
+        if bad is None:
             continue
         for qname, row in (pdata.get("queries") or {}).items():
+            if qname in bad:
+                continue
             dt = (row or {}).get(column)
             if dt:
                 trailing.setdefault(qname, []).append(dt)
@@ -353,8 +367,11 @@ def canary_check(
     BOTH columns since r9 — the engine side drifts too, see canary_spark).
 
     A reading that drifts >``threshold``x (either direction) from its
-    trailing-round median is re-measured once via ``remeasure(name)`` (best
-    kept); a reading that STAYS drifted lands in the returned dict's
+    trailing-round median is re-measured once via ``remeasure(name)``
+    (direction-aware: upward drift keeps the BEST of the two — a fast
+    re-run heals a load spike; downward drift keeps the WORST — a
+    normal-speed re-run heals a too-fast glitch); a reading that STAYS
+    drifted lands in the returned dict's
     ``flagged`` map so the artifact self-describes which rows are suspect.
     ``ok`` is True iff no unresolved drift remains. SCALE_r08's 0.67x
     headline (comparator ballooned 2.6x mid-run) and the phantom r8 q16
@@ -391,7 +408,17 @@ def canary_check(
                 "trailing_median": round(med, 4),
             }
             continue
-        rerun = min(cur, remeasure(name))
+        # Direction-aware healing: for UPWARD drift keep the best of
+        # (current, re-measure) — a faster re-run proves the spike was
+        # transient load. For DOWNWARD drift keep the WORST — a
+        # normal-speed re-run proves the too-fast reading was a glitch
+        # (cache-hot page, timer skip) and adopts the confirmed-normal
+        # value; min() here could never heal (re-measure can only lower
+        # the kept value), so every transient fast glitch persisted to
+        # ok=False — the r9 q_llm_sim_knn_batch flag, and the r10
+        # advisor's medium finding.
+        re_t = remeasure(name)
+        rerun = min(cur, re_t) if cur > med else max(cur, re_t)
         col_t[name] = rerun
         if max(rerun / med, med / rerun) > threshold:
             canary["ok"] = False
