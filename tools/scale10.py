@@ -529,8 +529,17 @@ def main() -> None:
             "q_agg_percentile",
             "q_agg_percentile_disc",
             "q_win_range_between",
-        } | set(timed)
+        }
+        # ONE artifact covering every registered query (r9 verdict item
+        # 6): the sweep includes the HEADLINE/SCALE_OPS names too — under
+        # --once they cost one cold run like everyone else, and the
+        # resulting JSON lists a completion time (or a documented skip
+        # above) for the full registry instead of "everything except the
+        # 53 already-timed names".
         timed = sorted(n for n in qs if n not in skip)
+        sweep_skips = sorted(skip & set(qs))
+        for name in sweep_skips:
+            print(f"# registry sweep skip (documented generator degeneracy): {name}")
     if only_ops is not None:
         unknown = only_ops - set(qs)
         if unknown:
@@ -625,14 +634,18 @@ def main() -> None:
 
     duck_t: dict[str, float] = {}
     if spark_only:
+        # --spark-only still writes the --json artifact (the 100x
+        # registry survival sweep is spark-only by design — its point is
+        # completion, not a comparator ratio); duckdb fields emit None.
         print("# duckdb comparison skipped: --spark-only")
-        print(f"| query | spark {mult}x |")
-        print("| --- | --- |")
-        for name in timed:
-            print(f"| {name} | {spark_t[name]*1000:.0f} ms |")
-        _scale_gates(spark, dest)
-        return
-    try:
+        canary = {
+            "threshold": CANARY_THRESHOLD,
+            "flagged": {},
+            "ok": True,
+            "skipped": "--spark-only",
+        }
+    else:
+      try:
         import duckdb
 
         con = duckdb.connect()
@@ -673,7 +686,7 @@ def main() -> None:
         canary = canary_check(
             duck_t, trailing_medians(repo_root, mult), duck_best
         )
-    except Exception as exc:  # pragma: no cover
+      except Exception as exc:  # pragma: no cover
         print(f"# duckdb comparison skipped: {exc}")
         canary = {"threshold": CANARY_THRESHOLD, "flagged": {}, "ok": False}
 
@@ -681,9 +694,14 @@ def main() -> None:
         import json as _json
 
         payload = {
-            "metric": "scale_tier_best_of_3",
+            "metric": "scale_tier_once_cold" if once else "scale_tier_best_of_3",
             "rows_mult": mult,
             "unit": "sec",
+            **(
+                {"registry_sweep": True, "registry_skips": sweep_skips}
+                if registry_sweep
+                else {}
+            ),
             "queries": {
                 name: {
                     "spark": round(spark_t[name], 4),
@@ -739,11 +757,14 @@ def main() -> None:
         )
     if all(n in spark_t for n in HEADLINE):
         h_spark = sum(spark_t[n] for n in HEADLINE)
-        h_duck = sum(duck_t[n] for n in HEADLINE if n in duck_t)
-        print(
-            f"| HEADLINE TOTAL | {h_spark*1000:.0f} ms | "
-            f"{h_duck*1000:.0f} ms | {h_spark/max(h_duck,1e-9):.2f}x |"
-        )
+        if all(n in duck_t for n in HEADLINE):
+            h_duck = sum(duck_t[n] for n in HEADLINE)
+            print(
+                f"| HEADLINE TOTAL | {h_spark*1000:.0f} ms | "
+                f"{h_duck*1000:.0f} ms | {h_spark/h_duck:.2f}x |"
+            )
+        else:
+            print(f"| HEADLINE TOTAL | {h_spark*1000:.0f} ms | — | — |")
     _scale_gates(spark, dest)
 
 
