@@ -261,7 +261,16 @@ GROUP BY event_type, k
         "nested objects with the same key, or whitespace variants "
         "silently corrupt it. from_json with an explicit schema — never "
         "inference — stays the multi-key / nested path, and the variant "
-        "path remains the parse-once-extract-many shape (q_fn_variant)."
+        "path remains the parse-once-extract-many shape (q_fn_variant). "
+        "CLOSED (r10): the last untried lever on the 15-19x comparator "
+        "ratio — shipping the parse to Python workers as Arrow batches "
+        "and parsing with orjson (tools/json_ab.py, value parity "
+        "asserted, interleaved best-of-7 at the 10x tier) — LOSES: "
+        "mapInPandas+orjson 618 ms best / 698 ms median vs "
+        "get_json_object 385 / 509. The Arrow round-trip of props both "
+        "ways plus Python worker dispatch exceeds orjson's ~10x "
+        "per-object parse win at this value shape; the residual ratio "
+        "is the JVM JSON-parse constant, priced and accepted."
     ),
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -500,3 +500,52 @@ def test_trailing_medians_excludes_invalid_comparator_columns(tmp_path):
     assert abs(meds["q2"] - 0.060) < 1e-12, meds  # r11's clean q2 counts
     smeds = trailing_medians(str(tmp_path), 10, "spark")
     assert abs(smeds["q"] - 0.25) < 1e-12, smeds  # r11 spark clean: 0.1,0.2,0.3,8.0
+
+
+def test_trailing_medians_direction_aware_flag_inclusion(tmp_path):
+    """Direction-aware inclusion (r10): an UPWARD-flagged comparator row
+    still feeds the reference (its value is a min-of-4 that load can only
+    inflate; permanent exclusion drained q_llm_dedup_simhash_scaled's
+    reference to one pre-shift round while three consecutive rounds read
+    the durable post-shift value). A DOWNWARD-flagged comparator row (the
+    timer-glitch class) and every flagged SPARK row stay excluded."""
+    import json
+
+    from tools.scale10 import trailing_medians
+
+    (tmp_path / "SCALE_r07.json").write_text(
+        json.dumps(
+            {"rows_mult": 10, "queries": {"up": {"duckdb": 5.0, "spark": 1.0},
+                                          "down": {"duckdb": 0.20, "spark": 2.0}}}
+        )
+    )
+    (tmp_path / "SCALE_r09.json").write_text(
+        json.dumps(
+            {
+                "rows_mult": 10,
+                "canary_ok": False,
+                "canary": {
+                    "ok": False,
+                    "flagged": {
+                        # durable shift: recorded ABOVE its then-median -> keep
+                        "up": {"duckdb": 9.0, "trailing_median": 5.0, "drift": 1.8},
+                        # glitch: recorded BELOW its then-median -> exclude
+                        "down": {"duckdb": 0.05, "trailing_median": 0.20, "drift": 4.0},
+                    },
+                },
+                "canary_spark": {
+                    "ok": False,
+                    # spark flags are upward-persistent load: always excluded
+                    "flagged": {"up": {"spark": 9.9, "trailing_median": 1.0}},
+                },
+                "queries": {"up": {"duckdb": 9.0, "spark": 9.9},
+                            "down": {"duckdb": 0.05, "spark": 2.2}},
+            }
+        )
+    )
+    meds = trailing_medians(str(tmp_path), 10)
+    assert abs(meds["up"] - 7.0) < 1e-12, meds  # median of 5.0 and kept 9.0
+    assert abs(meds["down"] - 0.20) < 1e-12, meds  # glitch 0.05 excluded
+    smeds = trailing_medians(str(tmp_path), 10, "spark")
+    assert abs(smeds["up"] - 1.0) < 1e-12, smeds  # flagged spark 9.9 excluded
+    assert abs(smeds["down"] - 2.1) < 1e-12, smeds  # unflagged spark rows count

@@ -304,13 +304,36 @@ def _excluded_names(pdata: dict, column: str) -> set[str] | None:
     legacy artifacts (no per-column canary dict) whose whole-artifact
     canary_ok flag is False carry no per-query map, and a failed canary
     dict with an empty/missing flagged map names nothing, so everything
-    stays suspect."""
+    stays suspect.
+
+    Direction-aware inclusion (r10): a COMPARATOR row flagged for UPWARD
+    drift still feeds the reference. Its recorded value is the min of >=4
+    runs and ambient load can only inflate the comparator, so that min is
+    the round's best estimate of truth — and excluding it forever is what
+    drained q_llm_dedup_simhash_scaled's reference to r7's 5.2 s while
+    three consecutive rounds independently read 8.2-11.9 s: a durable
+    comparator shift could never heal because every post-shift reading
+    was flagged against the pre-shift median (the advisor's pool-drain
+    finding, upward case). Downward-flagged comparator rows (the
+    timer-glitch class the r9 q_llm_sim_knn_batch flag belonged to) stay
+    excluded, as do ALL flagged spark rows (the engine canary only flags
+    upward-persistent drift, which is load-inflation by construction)."""
     key = "canary" if column == "duckdb" else "canary_spark"
     if key in pdata:
         c = pdata.get(key) or {}
         if c.get("ok") is False:
             flagged = c.get("flagged")
-            return set(flagged) if flagged else None
+            if not flagged:
+                return None
+            if column != "duckdb":
+                return set(flagged)
+            out = set()
+            for name, fl in flagged.items():
+                val, med = (fl or {}).get(column), (fl or {}).get("trailing_median")
+                if val is not None and med is not None and val > med:
+                    continue  # upward-flagged comparator row: keep it
+                out.add(name)  # downward glitch, or direction unknowable
+            return out
         return set()
     if column == "duckdb" and pdata.get("canary_ok") is False:
         return None
