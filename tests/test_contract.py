@@ -421,6 +421,72 @@ def test_scale_canary_drift_logic(tmp_path):
     assert not res["ok"] and "q" in res["flagged"]
 
 
+def test_scale_canary_band_drift(tmp_path):
+    """r10: drift is measured from the trailing BAND edges (min/max of
+    committed readings), not the median — five full 10x runs on one
+    quiet box each flagged a DIFFERENT sub-second query whose reading
+    sat inside the committed historical range (run 4 flagged a
+    q_graph_triangles reading faster than r9's committed value). A
+    reading inside [min/threshold, max*threshold] passes without a
+    re-measure; the r8 balloon class (2-10x above every neighbour) still
+    flags."""
+    import json
+
+    from tools.scale10 import canary_check, trailing_bands, trailing_medians
+
+    # committed history legitimately spans ~2.5x: 0.32 / 0.53 / 0.81
+    for i, dt in enumerate([0.32, 0.53, 0.81]):
+        (tmp_path / f"SCALE_r0{i}.json").write_text(
+            json.dumps({"rows_mult": 10, "queries": {"q": {"duckdb": dt}}})
+        )
+    meds = trailing_medians(str(tmp_path), 10)
+    bands = trailing_bands(str(tmp_path), 10)
+    assert bands["q"] == (0.32, 0.81) and meds["q"] == 0.53
+
+    # 1.35x the MEDIAN but inside the band: passes untouched, no re-measure
+    calls = []
+    duck = {"q": 0.715}
+    res = canary_check(duck, meds, lambda n: calls.append(n) or 9.9, bands=bands)
+    assert res["ok"] and not res["flagged"] and not calls and duck["q"] == 0.715
+
+    # just past the band edge but within threshold x max: still in-band
+    duck = {"q": 1.10}  # 1.36x the 0.81 max, 2.08x the median
+    res = canary_check(duck, meds, lambda n: calls.append(n) or 9.9, bands=bands)
+    assert res["ok"] and not res["flagged"] and not calls
+
+    # the r8 balloon class: far above threshold x max — re-measured, and
+    # persistent drift still flags with the band recorded
+    duck = {"q": 2.60}
+    res = canary_check(duck, meds, lambda n: 2.50, bands=bands)
+    assert not res["ok"] and res["flagged"]["q"]["trailing_band"] == [0.32, 0.81]
+    assert duck["q"] == 2.50  # best-of kept for up-drift
+
+    # downward: above min/threshold passes; a persistent too-fast glitch
+    # below it still flags (comparator column, flag_down=True)
+    duck = {"q": 0.25}  # 0.78x of the 0.32 min: inside the band gate
+    res = canary_check(duck, meds, lambda n: calls.append(n) or 9.9, bands=bands)
+    assert res["ok"] and not res["flagged"] and not calls
+    duck = {"q": 0.10}
+    res = canary_check(duck, meds, lambda n: 0.11, bands=bands)
+    assert not res["ok"] and res["flagged"]["q"]["drift"] > 1.5
+
+    # engine column: a reading below the band is an improvement, recorded
+    # informationally only
+    sp = {"q": 0.10}
+    res = canary_check(sp, meds, lambda n: calls.append(n) or 9.9,
+                       flag_down=False, label="spark", bands=bands)
+    assert res["ok"] and not res["flagged"] and not calls
+    assert res["improved"]["q"]["spark"] == 0.10
+
+    # bands=None collapses to the median-anchored legacy behavior
+    duck = {"q": 0.715}  # 1.35x median: in-band only WITH the band
+    res = canary_check(duck, meds, lambda n: 0.716)
+    assert res["ok"]  # 1.35 < 1.5 threshold either way
+    duck = {"q": 1.10}
+    res = canary_check(duck, meds, lambda n: 1.10)
+    assert not res["ok"]  # 2.08x the median with no band: flags
+
+
 def test_trailing_medians_excludes_invalid_comparator_columns(tmp_path):
     """An invalidated comparator column must never feed the trailing
     reference (the first r9 run's 12 phantom flags were r8's ballooned
