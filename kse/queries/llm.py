@@ -3046,15 +3046,22 @@ def q_llm_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # shuffle_hash pin: BOTH sides of this self-join are the corpus's
-    # distinct (source, gram) frame — Catalyst's post-aggregate size
-    # estimate hides the gram-string payload, kept the frame under the
-    # auto-broadcast threshold, and built a corpus-sized HashedRelation
-    # on the 100x survival sweep (heap OOM, same class as the minhash
-    # band join). Partitioned per-gram hash join instead: each partition
-    # builds only a corpus fraction at any scale.
-    a = grams.select(F.col("source").alias("source_a"), "gram").hint("shuffle_hash")
-    b = grams.select(F.col("source").alias("source_b"), "gram").hint("shuffle_hash")
+    # merge pin (r10; was shuffle_hash, before that broadcast): BOTH
+    # sides of this self-join are the corpus's distinct (source, gram)
+    # frame. Catalyst's post-aggregate size estimate hides the
+    # gram-string payload, so left alone it broadcast a corpus-sized
+    # HashedRelation (r9 100x sweep: heap OOM). The shuffle_hash pin
+    # fixed that tier but re-OOMed one tier up: at the r10 100x sweep the
+    # PER-PARTITION build (distinct grams / shuffle partitions) times 32
+    # concurrent tasks exhausted execution memory
+    # (UNABLE_TO_ACQUIRE_MEMORY in the build stage) — the documented SHJ
+    # failure mode, and partition count is a config constant while the
+    # gram table grows with the corpus, so any fixed partitioning
+    # eventually re-OOMs. Sort-merge is the strategy whose per-task state
+    # is bounded by spillable sorts at every scale; value parity and the
+    # 100x completion are re-proven in this round's artifacts.
+    a = grams.select(F.col("source").alias("source_a"), "gram").hint("merge")
+    b = grams.select(F.col("source").alias("source_b"), "gram").hint("merge")
     return (
         a.join(b, "gram")
         .filter(F.col("source_a") < F.col("source_b"))

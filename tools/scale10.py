@@ -632,14 +632,31 @@ def main() -> None:
             print(f"# warm {name}", flush=True)
             mat(qs[name].fn(spark, dest))
     spark_t: dict[str, float] = {}
+    spark_err: dict[str, str] = {}
     for name in timed:
         best = float("inf")
         for _ in range(1 if once else 3):
             print(f"# run {name}", flush=True)
             t0 = time.perf_counter()
-            mat(qs[name].fn(spark, dest))
+            try:
+                mat(qs[name].fn(spark, dest))
+            except Exception as exc:
+                if not once:
+                    raise
+                # Survival sweep: a query that cannot COMPLETE at this
+                # tier is the sweep's most important possible finding —
+                # record it per-name and keep sweeping instead of dying
+                # with a partial artifact (the first r10 100x sweep died
+                # 96 queries in when q_llm_overlap_matrix's shuffled-hash
+                # build exhausted execution memory, losing the record of
+                # everything after it in the alphabet).
+                msg = f"{type(exc).__name__}: {exc}"
+                spark_err[name] = msg.splitlines()[0][:300]
+                print(f"# SURVIVAL FAIL {name}: {spark_err[name]}", flush=True)
+                break
             best = min(best, time.perf_counter() - t0)
-        spark_t[name] = best
+        if name not in spark_err:
+            spark_t[name] = best
 
     # Spark-column canary, symmetric with the comparator one below: the
     # second r9 battery proved the ENGINE column drifts too — its early
@@ -787,13 +804,19 @@ def main() -> None:
                 else {}
             ),
             "queries": {
-                name: {
-                    "spark": round(spark_t[name], 4),
-                    "duckdb": round(duck_t[name], 4) if name in duck_t else None,
-                    "ratio": round(spark_t[name] / duck_t[name], 3)
-                    if name in duck_t
-                    else None,
-                }
+                name: (
+                    {"spark": None, "error": spark_err[name]}
+                    if name in spark_err
+                    else {
+                        "spark": round(spark_t[name], 4),
+                        "duckdb": round(duck_t[name], 4)
+                        if name in duck_t
+                        else None,
+                        "ratio": round(spark_t[name] / duck_t[name], 3)
+                        if name in duck_t
+                        else None,
+                    }
+                )
                 for name in timed
             },
             "headline_total_spark": round(sum(spark_t[n] for n in HEADLINE), 4)
@@ -832,6 +855,9 @@ def main() -> None:
     print(f"| query | spark {mult}x | duckdb {mult}x | ratio |")
     print("| --- | --- | --- | --- |")
     for name in timed:
+        if name in spark_err:
+            print(f"| {name} | FAILED: {spark_err[name]} | — | — |")
+            continue
         st = spark_t[name]
         dt = duck_t.get(name)
         ratio = f"{st / dt:.2f}x" if dt else "—"
