@@ -9,6 +9,14 @@ after warm-up"): two full warm-up passes over all queries first (JVM
 JIT + whole-stage codegen compilation is amortized across a session, not
 per query — a single adjacent warm-up run measurably under-warms), then
 best of 3 timed runs per query.
+
+Round 11: the JSON additionally carries an UNCACHED / RAW-LAYOUT leg
+(same queries, same protocol, executor-memory pins and the engine-managed
+layout released — scans read the raw driver files with only OS-page-cache
+warmth) plus first-class median and floor-adjusted totals, so the
+2x-baseline gate can be read against a number that excludes both the warm
+posture and ambient host load. The cached headline leg ("value"/"queries")
+is byte-identical in protocol and position with rounds 1-10.
 """
 
 from __future__ import annotations
@@ -22,7 +30,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kse import registry  # noqa: E402
-from kse.catalog import cache_tables, prepare_local_layout  # noqa: E402
+from kse.catalog import cache_tables, prepare_local_layout, release_tables  # noqa: E402
 from kse.session import DEFAULT_SF_DIR, get_session  # noqa: E402
 
 HEADLINE = [
@@ -118,47 +126,53 @@ def main() -> None:
         return best
 
     floor = floor_sample(float("inf"))
-    timings: dict[str, float] = {}
+    sc = spark.sparkContext
+
     # Median alongside min: round-over-round per-query comparisons on
     # min-of-5 alone can't separate ambient drift (±15-20% on this shared
     # host, DESIGN.md) from a real regression; the median moves far less
     # under load spikes, so a query whose MEDIAN moved is worth triage and
     # one whose min alone moved is noise.
-    medians: dict[str, float] = {}
+    #
     # Jobs per query, counted via job groups: a broadcast join stages its
     # build as a SEPARATE sequential job, so e.g. q_join_multiway (3
     # broadcast dims) runs 4 jobs and pays the dispatch floor 4 times per
     # action. Reported so floor adjustment can be per-job, not per-query.
-    n_jobs: dict[str, int] = {}
-    sc = spark.sparkContext
-    for name in HEADLINE:
-        if name in errors:
-            timings[name] = -1.0
-            medians[name] = -1.0
-            continue
-        samples: list[float] = []
-        for i in range(5):  # best-of-5: ambient load spikes on this host
-            if i == 0:
-                sc.setJobGroup(f"bench-{name}", name)
-            t0 = time.perf_counter()
-            ok = try_materialize(name)
-            elapsed = time.perf_counter() - t0
-            if i == 0:
-                try:
-                    tracker = sc._jsc.sc().statusTracker()
-                    n_jobs[name] = len(tracker.getJobIdsForGroup(f"bench-{name}"))
-                except Exception:
-                    n_jobs[name] = 1
-                sc.setJobGroup(None, None)
-            if not ok:
-                break
-            samples.append(elapsed)
-        if samples:
-            timings[name] = round(min(samples), 4)
-            medians[name] = round(sorted(samples)[len(samples) // 2], 4)
-        else:
-            timings[name] = -1.0
-            medians[name] = -1.0
+    def time_headline(tag: str) -> tuple[dict[str, float], dict[str, float], dict[str, int]]:
+        timings: dict[str, float] = {}
+        medians: dict[str, float] = {}
+        n_jobs: dict[str, int] = {}
+        for name in HEADLINE:
+            if name in errors:
+                timings[name] = -1.0
+                medians[name] = -1.0
+                continue
+            samples: list[float] = []
+            for i in range(5):  # best-of-5: ambient load spikes on this host
+                if i == 0:
+                    sc.setJobGroup(f"{tag}-{name}", name)
+                t0 = time.perf_counter()
+                ok = try_materialize(name)
+                elapsed = time.perf_counter() - t0
+                if i == 0:
+                    try:
+                        tracker = sc._jsc.sc().statusTracker()
+                        n_jobs[name] = len(tracker.getJobIdsForGroup(f"{tag}-{name}"))
+                    except Exception:
+                        n_jobs[name] = 1
+                    sc.setJobGroup(None, None)
+                if not ok:
+                    break
+                samples.append(elapsed)
+            if samples:
+                timings[name] = round(min(samples), 4)
+                medians[name] = round(sorted(samples)[len(samples) // 2], 4)
+            else:
+                timings[name] = -1.0
+                medians[name] = -1.0
+        return timings, medians, n_jobs
+
+    timings, medians, n_jobs = time_headline("bench")
     # Re-sample the floor AFTER the timed loop and keep the min: a load
     # spike during either window would otherwise inflate (or deflate) the
     # adjustment. Clamp at the fastest measured query — a floor estimate
@@ -167,6 +181,28 @@ def main() -> None:
     positive = [v for v in timings.values() if v > 0]
     if positive:
         floor = min(floor, min(positive))
+
+    # UNCACHED / RAW-LAYOUT leg (r10 verdict item 1): the same 8 queries,
+    # same best-of-5 + median protocol, with the engine-managed layout
+    # routing AND the executor-memory table pins RELEASED — every scan
+    # reads the raw single-file driver parquet directly from sf_dir, and
+    # nothing is held in Spark storage memory. The only warmth is the OS
+    # page cache from the leg's own 2 warm-up passes (the identical
+    # posture the in-process comparator gets from its warm-up passes).
+    # Runs AFTER the cached leg so the cached headline's protocol stays
+    # byte-identical with rounds 1-10; the JSON carries both numbers so
+    # the 2x-baseline gate can be read against either.
+    raw_timings: dict[str, float] = {}
+    raw_medians: dict[str, float] = {}
+    raw_jobs: dict[str, int] = {}
+    try:
+        release_tables(spark, sf_dir)
+        for _ in range(2):  # same global warm-up protocol as the cached leg
+            for name in HEADLINE:
+                try_materialize(name)
+        raw_timings, raw_medians, raw_jobs = time_headline("bench-raw")
+    except Exception as exc:
+        errors.setdefault("uncached_leg", f"{type(exc).__name__}: {exc}"[:500])
 
     # transparent comparator: the same oracle queries timed on DuckDB
     # in-process (the BASELINE.md protocol), so each round's JSON carries
@@ -297,12 +333,35 @@ def main() -> None:
         stream_best = -1.0
 
     spark_total = round(sum(v for v in timings.values() if v > 0), 4)
+    # First-class load-robust totals (r10 verdict item 1b): a loaded driver
+    # host inflates a best-of total without any plan change (r10: 8/8
+    # "regressed" with zero code change in any query path). The median
+    # total moves far less under load spikes; the floor-adjusted total
+    # subtracts the measured per-job dispatch cost. Publish all of them so
+    # the artifact itself distinguishes ambient noise from a regression.
+    median_total = round(sum(v for v in medians.values() if v > 0), 4)
+    uncached_total = (
+        round(sum(v for v in raw_timings.values() if v > 0), 4)
+        if any(v > 0 for v in raw_timings.values())
+        else -1.0
+    )
+    uncached_median_total = (
+        round(sum(v for v in raw_medians.values() if v > 0), 4)
+        if any(v > 0 for v in raw_medians.values())
+        else -1.0
+    )
     out = {
         "metric": "headline_query_total",
         "value": spark_total,
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        "median_total": median_total,
+        "queries_uncached": raw_timings,
+        "queries_uncached_median": raw_medians,
+        "uncached_total": uncached_total,
+        "uncached_median_total": uncached_median_total,
+        "jobs_per_query_uncached": raw_jobs,
         "sf": sf,
         "layout_s": round(layout_s, 2),
         "cache_s": round(cache_s, 2),
@@ -345,13 +404,24 @@ def main() -> None:
             for name, v in timings.items()
             if v > 0
         )
+        out["floor_adjusted_total"] = round(adj_total, 4)
         out["floor_adjusted_ratio_vs_duckdb_live"] = round(adj_total / duck_total, 3)
+        if any(v > 0 for v in raw_timings.values()):
+            raw_adj = sum(
+                max(v - raw_jobs.get(name, 1) * floor, 0.0)
+                for name, v in raw_timings.items()
+                if v > 0
+            )
+            out["uncached_floor_adjusted_total"] = round(raw_adj, 4)
     # BASELINE.md's recorded DuckDB numbers for the same 8 queries (survey
     # session protocol) sum to 1.0297 s — kept here so the JSON carries
     # both comparisons. Live DuckDB runs faster than the recorded baseline;
     # Spark's ~0.15-0.3 s fixed per-query cost dominates at this data size
     # (see DESIGN.md: at 10x data the flagship grows 3.8x, i.e. sub-linear).
     out["baseline_md_total"] = 1.0297
+    out["vs_baseline_md"] = round(spark_total / 1.0297, 3)
+    if uncached_total > 0:
+        out["uncached_vs_baseline_md"] = round(uncached_total / 1.0297, 3)
     print(json.dumps(out))
 
 

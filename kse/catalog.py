@@ -307,6 +307,31 @@ def cache_tables(spark: SparkSession, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def release_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Undo :func:`cache_tables` + :func:`prepare_local_layout` routing for
+    ``sf_dir``: unpersist every pinned relation and point subsequent
+    :func:`load` calls back at the raw driver files.
+
+    The bench's UNCACHED leg uses this to time the same queries against the
+    raw single-file driver layout in the same session (no pinned executor
+    memory, no engine-managed rewrite — only the OS page cache, the same
+    warm-buffer posture the in-process comparator gets). The rewritten
+    layout files themselves stay on disk (the streaming leg reads them by
+    path); only the catalog routing changes."""
+    for key in [k for k in _RELATION_CACHE if k[1] == sf_dir]:
+        df = _RELATION_CACHE.pop(key)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _LAYOUTS.pop(sf_dir, None)
+    for key in [k for k in _LAYOUT_TABLES if k[0] == sf_dir]:
+        del _LAYOUT_TABLES[key]
+    from kse import registry
+
+    registry.invalidate_plans(sf_dir, spark)
+
+
 def _normalize_session(spark: SparkSession) -> None:
     """Set the runtime confs every query path depends on, once per session.
 
