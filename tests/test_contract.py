@@ -615,3 +615,96 @@ def test_trailing_medians_direction_aware_flag_inclusion(tmp_path):
     smeds = trailing_medians(str(tmp_path), 10, "spark")
     assert abs(smeds["up"] - 1.0) < 1e-12, smeds  # flagged spark 9.9 excluded
     assert abs(smeds["down"] - 2.1) < 1e-12, smeds  # unflagged spark rows count
+
+
+def test_trailing_band_excludes_single_upward_flags(tmp_path):
+    """r11 (advisor): an upward-flagged comparator reading feeds the
+    MEDIAN (the r10 pool-drain rule) but NOT the band — one
+    load-ballooned round must not raise the band's silent-pass ceiling
+    for every later round."""
+    import json
+
+    from tools.scale10 import trailing_bands, trailing_medians
+
+    # r17+ names: SCALE_r08's duckdb column is excluded by name in
+    # EXCLUDED_COLUMNS, so synthetic artifacts must avoid the real names
+    (tmp_path / "SCALE_r17.json").write_text(
+        json.dumps({"rows_mult": 10, "queries": {"q": {"duckdb": 0.050}}})
+    )
+    (tmp_path / "SCALE_r18.json").write_text(
+        json.dumps({"rows_mult": 10, "queries": {"q": {"duckdb": 0.055}}})
+    )
+    (tmp_path / "SCALE_r19.json").write_text(
+        json.dumps(
+            {
+                "rows_mult": 10,
+                "canary_ok": False,
+                "canary": {
+                    "ok": False,
+                    "flagged": {
+                        "q": {"duckdb": 0.083, "trailing_median": 0.052, "drift": 1.51}
+                    },
+                },
+                "canary_spark": {"ok": True},
+                "queries": {"q": {"duckdb": 0.083, "spark": 0.1}},
+            }
+        )
+    )
+    meds = trailing_medians(str(tmp_path), 10)
+    assert abs(meds["q"] - 0.055) < 1e-12, meds  # median of 0.050/0.055/0.083
+    bands = trailing_bands(str(tmp_path), 10)
+    assert bands["q"] == (0.050, 0.055), bands  # 0.083 NOT admitted to the band
+
+
+def test_trailing_flags_heal_after_consecutive_rounds(tmp_path):
+    """r11 (advisor): a query upward-flagged in >= 2 CONSECUTIVE committed
+    artifacts is a durable shift (the r9+r10 q_llm_dedup_semantic_arrow
+    engine-host shift), not load — those readings join the reference
+    (median AND band) for both columns, so the shift stops re-flagging
+    forever. A single flagged round still stays out of the band."""
+    import json
+
+    from tools.scale10 import trailing_bands, trailing_medians
+
+    (tmp_path / "SCALE_r18.json").write_text(
+        json.dumps({"rows_mult": 10, "queries": {"q": {"spark": 2.8, "duckdb": 1.0}}})
+    )
+    for rnd, val in (("19", 5.8), ("20", 5.5)):
+        (tmp_path / f"SCALE_r{rnd}.json").write_text(
+            json.dumps(
+                {
+                    "rows_mult": 10,
+                    "canary_ok": False,
+                    "canary": {"ok": True},
+                    "canary_spark": {
+                        "ok": False,
+                        "flagged": {
+                            "q": {"spark": val, "trailing_median": 2.8, "drift": 2.0}
+                        },
+                    },
+                    "queries": {"q": {"spark": val, "duckdb": 1.0}},
+                }
+            )
+        )
+    smeds = trailing_medians(str(tmp_path), 10, "spark")
+    assert abs(smeds["q"] - 5.5) < 1e-12, smeds  # median of 2.8/5.8/5.5: healed
+    sbands = trailing_bands(str(tmp_path), 10, "spark")
+    assert sbands["q"] == (2.8, 5.8), sbands  # healed readings widen the band
+
+
+def test_trailing_band_windows_to_last_k_artifacts(tmp_path):
+    """r11 (advisor): the band is the (min, max) of the last 4 included
+    artifacts only — an all-time band can only widen monotonically. The
+    median still reads the full history."""
+    import json
+
+    from tools.scale10 import trailing_bands, trailing_medians
+
+    for i, dt in enumerate([9.0, 0.050, 0.055, 0.052, 0.058]):
+        (tmp_path / f"SCALE_r0{i}.json").write_text(
+            json.dumps({"rows_mult": 10, "queries": {"q": {"duckdb": dt}}})
+        )
+    bands = trailing_bands(str(tmp_path), 10)
+    assert bands["q"] == (0.050, 0.058), bands  # the old 9.0 aged out
+    meds = trailing_medians(str(tmp_path), 10)
+    assert abs(meds["q"] - 0.055) < 1e-12, meds  # median keeps full history

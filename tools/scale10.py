@@ -292,32 +292,21 @@ CANARY_THRESHOLD = 1.5
 EXCLUDED_COLUMNS = {("SCALE_r08.json", "duckdb")}
 
 
-def _excluded_names(pdata: dict, column: str) -> set[str] | None:
-    """Query names to drop from ``column``'s trailing reference for this
-    artifact. A failed canary names its suspect rows in ``flagged`` —
-    exclude exactly those and keep the rest: the un-flagged readings
-    passed the same drift check as a fully-green run's, and dropping the
-    whole column (the pre-r10 behavior) drained the reference pool — with
-    r8's duckdb column excluded by name and both r9 columns
-    self-invalidated, the 10x duckdb reference had reduced to r7 alone
-    (the r10 advisor's finding). Returns None for "whole column invalid":
-    legacy artifacts (no per-column canary dict) whose whole-artifact
-    canary_ok flag is False carry no per-query map, and a failed canary
-    dict with an empty/missing flagged map names nothing, so everything
-    stays suspect.
+def _artifact_status(pdata: dict, column: str) -> dict[str, str] | None:
+    """Per-query flag status for ``column`` in one committed artifact:
+    ``{name: "up" | "down"}`` for the rows its failed canary named,
+    ``{}`` when the column is clean, ``None`` for "whole column invalid"
+    (legacy artifacts whose whole-artifact canary_ok flag is False carry
+    no per-query map, and a failed canary dict with an empty/missing
+    flagged map names nothing, so everything stays suspect).
 
-    Direction-aware inclusion (r10): a COMPARATOR row flagged for UPWARD
-    drift still feeds the reference. Its recorded value is the min of >=4
-    runs and ambient load can only inflate the comparator, so that min is
-    the round's best estimate of truth — and excluding it forever is what
-    drained q_llm_dedup_simhash_scaled's reference to r7's 5.2 s while
-    three consecutive rounds independently read 8.2-11.9 s: a durable
-    comparator shift could never heal because every post-shift reading
-    was flagged against the pre-shift median (the advisor's pool-drain
-    finding, upward case). Downward-flagged comparator rows (the
-    timer-glitch class the r9 q_llm_sim_knn_batch flag belonged to) stay
-    excluded, as do ALL flagged spark rows (the engine canary only flags
-    upward-persistent drift, which is load-inflation by construction)."""
+    Naming ONLY the flagged rows (r10) keeps the un-flagged readings in
+    the reference — they passed the same drift check as a fully-green
+    run's; dropping the whole column (the pre-r10 behavior) drained the
+    pool to a single round (the r10 advisor's finding). Direction is
+    read from the flag record itself (value vs its then-median); a flag
+    with no direction information counts as "down" (unknowable stays
+    excluded)."""
     key = "canary" if column == "duckdb" else "canary_spark"
     if key in pdata:
         c = pdata.get(key) or {}
@@ -325,33 +314,61 @@ def _excluded_names(pdata: dict, column: str) -> set[str] | None:
             flagged = c.get("flagged")
             if not flagged:
                 return None
-            if column != "duckdb":
-                return set(flagged)
-            out = set()
+            label = "duckdb" if column == "duckdb" else "spark"
+            out = {}
             for name, fl in flagged.items():
-                val, med = (fl or {}).get(column), (fl or {}).get("trailing_median")
-                if val is not None and med is not None and val > med:
-                    continue  # upward-flagged comparator row: keep it
-                out.add(name)  # downward glitch, or direction unknowable
+                val = (fl or {}).get(label)
+                med = (fl or {}).get("trailing_median")
+                up = val is not None and med is not None and val > med
+                out[name] = "up" if up else "down"
             return out
-        return set()
+        return {}
     if column == "duckdb" and pdata.get("canary_ok") is False:
         return None
-    return set()
+    return {}
+
+
+# Band reference window: the band is the (min, max) of the last K included
+# artifacts only. An all-time band can only widen monotonically, so canary
+# sensitivity would degrade round over round (r11 advisor); windowing lets
+# a one-off wide committed reading age out of the gate after K rounds.
+_BAND_WINDOW = 4
+
+# Durable-shift healing: a query upward-flagged in this many CONSECUTIVE
+# committed artifacts is a durable shift (host characteristic, engine or
+# comparator), not load — its flagged readings join the reference (median
+# AND band) so it stops re-flagging forever. One flagged round alone never
+# enters the band (r11 advisor: a single load-ballooned round must not
+# raise the silent-pass ceiling).
+_HEAL_RUNS = 2
 
 
 def _trailing_values(
-    repo_root: str, mult: int, column: str = "duckdb"
+    repo_root: str, mult: int, column: str = "duckdb", band: bool = False
 ) -> dict[str, list[float]]:
     """Per-query list of ``column`` readings across committed
     SCALE_r*.json artifacts at the same rows_mult. Skips (artifact,
-    column) pairs in EXCLUDED_COLUMNS and, per query, the rows a failed
-    canary named in its flagged map (_excluded_names; whole column only
-    when no per-query map exists)."""
+    column) pairs in EXCLUDED_COLUMNS and applies the per-row flag rules:
+
+    - unflagged readings feed both the median and the band; the BAND
+      additionally windows to the last ``_BAND_WINDOW`` included
+      artifacts (``band=True``) so it cannot widen monotonically forever;
+    - an UPWARD-flagged comparator row still feeds the MEDIAN (r10: its
+      recorded value is a min-of->=4 that ambient load can only inflate,
+      and permanent exclusion drained q_llm_dedup_simhash_scaled's
+      reference to one pre-shift round) but NOT the band — one ballooned
+      round must not raise the band's silent-pass ceiling (r11 advisor);
+    - a query upward-flagged in >= ``_HEAL_RUNS`` consecutive artifacts
+      is a confirmed durable shift: those readings join the reference
+      fully, for BOTH columns — this is the healing path for the
+      engine-side host-characteristic shift the r10 artifact documents
+      (q_llm_dedup_semantic_arrow, flagged r9 and r10), which could
+      otherwise never stop re-flagging (r11 advisor);
+    - DOWNWARD-flagged rows (the timer-glitch class) stay excluded."""
     import glob as _glob
     import json as _json
 
-    trailing: dict[str, list[float]] = {}
+    arts: list[tuple[dict[str, str], dict[str, float]]] = []
     for prior in sorted(_glob.glob(os.path.join(repo_root, "SCALE_r*.json"))):
         if (os.path.basename(prior), column) in EXCLUDED_COLUMNS:
             continue
@@ -362,14 +379,38 @@ def _trailing_values(
             continue
         if pdata.get("rows_mult") != mult:
             continue
-        bad = _excluded_names(pdata, column)
-        if bad is None:
+        status = _artifact_status(pdata, column)
+        if status is None:
             continue
-        for qname, row in (pdata.get("queries") or {}).items():
-            if qname in bad:
+        vals = {
+            qname: (row or {}).get(column)
+            for qname, row in (pdata.get("queries") or {}).items()
+        }
+        arts.append((dict(status), {q: v for q, v in vals.items() if v}))
+
+    # durable-shift healing: runs of >= _HEAL_RUNS consecutive "up" flags
+    # (consecutive among the artifacts where the query has a reading)
+    # reclassify to "ok" in place
+    seq: dict[str, list[tuple[int, str]]] = {}
+    for i, (status, vals) in enumerate(arts):
+        for q in vals:
+            seq.setdefault(q, []).append((i, status.get(q, "ok")))
+    for q, entries in seq.items():
+        run: list[int] = []
+        for i, s in entries + [(-1, "ok")]:  # sentinel flushes the tail run
+            if s == "up":
+                run.append(i)
                 continue
-            dt = (row or {}).get(column)
-            if dt:
+            if len(run) >= _HEAL_RUNS:
+                for j in run:
+                    arts[j][0][q] = "ok"
+            run = []
+
+    trailing: dict[str, list[float]] = {}
+    for status, vals in arts[-_BAND_WINDOW:] if band else arts:
+        for qname, dt in vals.items():
+            s = status.get(qname, "ok")
+            if s == "ok" or (s == "up" and column == "duckdb" and not band):
                 trailing.setdefault(qname, []).append(dt)
     return trailing
 
@@ -407,7 +448,7 @@ def trailing_bands(
     balloon read 2-10x above BOTH its neighbours, far outside any band)."""
     return {
         q: (min(v), max(v))
-        for q, v in _trailing_values(repo_root, mult, column).items()
+        for q, v in _trailing_values(repo_root, mult, column, band=True).items()
         if min(v) > 0
     }
 
@@ -472,10 +513,7 @@ def canary_check(
         lo, hi = min(lo, med), max(hi, med)
         if abs(cur - med) < floor_abs or (lo - floor_abs) <= cur <= (hi + floor_abs):
             continue
-        if cur > hi:
-            ref, drift = hi, cur / hi
-        else:
-            ref, drift = lo, lo / cur
+        drift = cur / hi if cur > hi else lo / cur
         if drift <= threshold:
             continue
         if cur < lo and not flag_down:
