@@ -2008,12 +2008,17 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
         "their numbering are immutable. Oracle = full rebuild over the "
         "whole feed (same SQL as q_sql_scd2): the driver hash-verifies "
         "incremental == rebuild; a pytest proves the same against the "
-        "Spark full build. Constant-factor pricing (r8, 10x tier): the "
-        "whole op is 1.27 s best-of-3 on a 15k-row feed — ~0.6 s is the "
-        "four filtered feed scans (hist x2 for dim + stored-max-version, "
-        "delta x2 for first-change + new versions), ~0.17 s is 7-job "
-        "dispatch, and the actual data work is negligible; the DuckDB "
-        "comparator full-rebuilds the same 15k rows in ~0.08 s, so the "
+        "Spark full build. Constant-factor pricing (r11 profile, 10x "
+        "tier, ~51 ms/job dispatch floor): the whole op is 0.82 s "
+        "best-of-7 on a 15k-row feed in 5 jobs over THREE filtered feed "
+        "scans (hist for the dim pass, delta for the new versions, one "
+        "combined scan for the per-key lookup — r11 merged the two "
+        "separate max-version/first-change lookups, each a ~370 ms "
+        "scan+broadcast-build job, into one conditional aggregate and "
+        "one broadcast: 7 jobs -> 5, 4 scans -> 3, 0.93 -> 0.82 s); "
+        "~0.26 s is 5-job dispatch and the actual data work is "
+        "negligible; the DuckDB comparator full-rebuilds the same 15k "
+        "rows in ~0.05 s, so the "
         "headline ratio compares Spark's fixed costs against an "
         "in-process rebuild, not plan against plan. The op's term is "
         "O(delta) + O(one dimension pass) vs the rebuild's O(full "
@@ -2046,17 +2051,6 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
     delta = o.filter(F.col("o_orderdate") >= F.lit(split).cast("date"))
 
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    # max version per key = the key's historical row count (versions are
-    # row_numbers), computed as a count over the SAME window partition —
-    # Catalyst fuses it into the one Window node dim already pays for, so
-    # the patched pass below needs no second history scan and no
-    # broadcast join for it (10x tier: 1.53 s -> 1.27 s best-of-3; the
-    # residual is the constant 7-job / 3-scan structure on a change feed
-    # whose data volume, 15k rows, is already negligible — see the
-    # docstring's pricing note).
-    w_full = Window.partitionBy("o_custkey").orderBy(
-        "o_orderdate", "o_orderkey"
-    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     # the standing dimension (what a warehouse would already have on disk)
     dim = hist.select(
         "o_custkey",
@@ -2064,16 +2058,50 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
         F.col("o_orderdate").alias("_from"),
         F.lead("o_orderdate").over(w).alias("_to"),
         F.col("o_totalprice").alias("attr_price"),
-        F.count(F.lit(1)).over(w_full).alias("_max_v"),
     )
 
-    # delta-sized per-key lookups: broadcast, never a dimension-wide
-    # shuffle. new_rows still needs the keys' stored max versions — at
-    # 100 TB that's a dim-metadata read; here a plain partial-agg count
-    # over the history scan.
-    max_v = hist.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_max_v"))
-    first_new = delta.groupBy("o_custkey").agg(
-        F.min("o_orderdate").alias("_first_new")
+    # ONE delta-sized per-key lookup: broadcast, never a dimension-wide
+    # shuffle. Both per-key facts the apply needs — the stored max version
+    # (= the key's historical row count; versions are row_numbers) and the
+    # key's first delta change date — are aggregates over the SAME feed
+    # scan, so they are computed as conditional aggregates in one pass and
+    # one broadcast build instead of one pass and one build EACH (r11
+    # profile, 10x tier: the two separate lookups cost ~335-385 ms each,
+    # dominated by their own feed scan + broadcast-build job; see
+    # OPTIMIZATION_r11.md for the before/after). At 100 TB this halves
+    # the metadata-pass count the docstring prices. Keys with no history
+    # aggregate _max_v = 0 (count of an all-NULL WHEN) and keys with no
+    # delta aggregate _first_new = NULL — exactly what the previous left
+    # joins yielded for an absent row, so downstream expressions are
+    # unchanged. The dimension's per-row _max_v (previously a fused
+    # whole-partition count window) now also comes from this lookup: for
+    # every dim key the lookup's hist-row count equals that window count.
+    lookup = o.groupBy("o_custkey").agg(
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit(split).cast("date"))
+                | F.col("o_orderdate").isNull(),
+                F.lit(1),
+            )
+        ).alias("_max_v"),
+        F.min(
+            F.when(
+                F.col("o_orderdate") >= F.lit(split).cast("date"),
+                F.col("o_orderdate"),
+            )
+        ).alias("_first_new"),
+    )
+
+    # New versions continue each key's numbering from its stored max; the
+    # delta window runs over the DELTA alone (same per-key order as the
+    # rebuild — legal because the feed splits by date, so every delta
+    # change follows every historical one within a key).
+    new_rows = delta.select(
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("o_orderdate").alias("_from"),
+        F.lead("o_orderdate").over(w).alias("_to"),
+        F.col("o_totalprice").alias("attr_price"),
     )
 
     # ONE pass over the stored dimension: each affected key's OPEN row
@@ -2085,14 +2113,29 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
     # the interior NULLs (found by the seeded-fuzz SCD2 property test,
     # r5 verdict item #7 — the by-hand NULL-date find generalized). At
     # 100 TB this stays one dimension pass with one broadcast lookup.
-    patched = (
-        dim.join(F.broadcast(first_new), "o_custkey", "left")
+    #
+    # The dimension pass and the new-version rows take the SAME broadcast
+    # join: union first (with a branch marker), join the one lookup once,
+    # then patch per branch. Joining each branch separately (the pre-r11
+    # form) built two BroadcastExchanges — the branches prune different
+    # lookup columns, so the exchanges never canonicalize equal and
+    # ReuseExchange cannot collapse them (verified on the executed plan:
+    # 2 BroadcastExchange / 0 ReusedExchange). One join below = one build.
+    merged = (
+        dim.withColumn("_is_new", F.lit(False))
+        .unionByName(new_rows.withColumn("_is_new", F.lit(True)))
+        .join(F.broadcast(lookup), "o_custkey", "left")
         .select(
             "o_custkey",
-            "version",
+            F.when(
+                F.col("_is_new"),
+                F.coalesce(F.col("_max_v"), F.lit(0)) + F.col("version"),
+            )
+            .otherwise(F.col("version"))
+            .alias("version"),
             "_from",
             F.when(
-                F.col("version") == F.col("_max_v"),
+                ~F.col("_is_new") & (F.col("version") == F.col("_max_v")),
                 F.coalesce("_to", "_first_new"),
             )
             .otherwise(F.col("_to"))
@@ -2100,20 +2143,6 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str, split: str) -> Data
             "attr_price",
         )
     )
-    new_rows = (
-        delta.join(F.broadcast(max_v), "o_custkey", "left")
-        .select(
-            "o_custkey",
-            (
-                F.coalesce(F.col("_max_v"), F.lit(0))
-                + F.row_number().over(w).cast("long")
-            ).alias("version"),
-            F.col("o_orderdate").alias("_from"),
-            F.lead("o_orderdate").over(w).alias("_to"),
-            F.col("o_totalprice").alias("attr_price"),
-        )
-    )
-    merged = patched.unionByName(new_rows)
     return merged.select(
         "o_custkey",
         "version",

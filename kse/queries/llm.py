@@ -3203,7 +3203,20 @@ FROM canon GROUP BY url
         "so the full pass is one shuffle of 8-byte keys. Scheme-case, "
         "slash and utm variants of the same path collapse to one row — "
         "the oracle derives identical URLs and canonicalizes with the "
-        "same regexes."
+        "same regexes. Priced constant (r11 profile, 10x tier, 50k docs, "
+        "~51 ms/job dispatch floor): full query 167-174 ms in 2 jobs "
+        "(~102 ms floor), the canonicalization projection alone 129 ms "
+        "(~64 ms of per-row chain over the scan), the bare scan 65 ms — "
+        "no pass to remove. Two per-row-CPU rewrites measured and "
+        "REJECTED in the same session (parity asserted on 350 rows "
+        "each): fusing the two anchored regexes into one optional-group "
+        "pattern '/?(\\?utm[^#]*)?$' reads 282/355 ms best/median vs "
+        "189/239 registered — the optional prefix defeats the regex "
+        "engine's literal-first-char scan and backtracks at every "
+        "position; an endswith+substring trailing-slash strip reads "
+        "229/297 vs 191/212 — the duplicated regex subtree is not "
+        "CSE'd. Two sequential anchored literal-prefix regexes are the "
+        "fast form."
     ),
 )
 def q_llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3240,7 +3253,15 @@ FROM kept GROUP BY source
         "and never materializes the full per-domain sort — followed by a "
         "tiny per-domain summary aggregate. The hot-domain skew this "
         "guards against (a few domains dominating a crawl) is exactly "
-        "what the group-limit pushdown bounds at 100 TB."
+        "what the group-limit pushdown bounds at 100 TB. Priced "
+        "constant (r11 profile, 10x tier, ~51 ms/job dispatch floor): "
+        "full query 181-189 ms in 2 jobs (~102 ms floor), the bare "
+        "3-column scan 58 ms, window+filter alone statistically "
+        "indistinguishable from the full query (the summary aggregate "
+        "reuses the window's partitioning, no second exchange) — the "
+        "residual ~80 ms is the one exchange plus the bounded per-"
+        "domain top-N heaps; there is no redundant pass, and the "
+        "comparator gap at this size is ~54% dispatch floor."
     ),
 )
 def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:

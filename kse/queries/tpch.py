@@ -796,7 +796,18 @@ GROUP BY c_count
         "measures DuckDB's perfect-hash agg against the JVM constant at "
         "toy volume; the r7->r8 'regression' was the comparator moving "
         "(DuckDB 71.5 -> 51 ms across rounds, Spark flat), the class the "
-        "SCALE canary gate now pins."
+        "SCALE canary gate now pins. Bloom-filter pre-filtering of the "
+        "fact side (guide SS3.2, the last untried lever — r10 verdict "
+        "item 5) measured and CLOSED in r11 (tools/q13_bloom_ab.py, 10x "
+        "tier, parity asserted on 28 rows): o_custkey is a foreign key "
+        "into customer, so a filter over ALL customer keys prunes ~zero "
+        "orders — the broadcast semi-join form read 821/850 ms "
+        "best/median vs the registered plan's 555/636, and Spark's "
+        "automatic runtime Bloom injection never fires here (the LEFT "
+        "side cannot be pruned and the creation side carries no "
+        "selective filter; no might_contain in the executed plan). The "
+        "lever needs most fact rows to be matchless; this shape has "
+        "none."
     ),
 )
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
