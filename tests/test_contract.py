@@ -75,6 +75,27 @@ def test_topk_uses_window_group_limit(spark):
     assert plan.count("WindowGroupLimit") >= 2  # partial (pre-shuffle) + final
 
 
+def test_scd2_incremental_single_lookup_pass(spark):
+    """The incremental SCD2 apply must keep its r11 shape: ONE combined
+    per-key lookup (stored max version + first delta change in one
+    conditional aggregate over one feed scan) broadcast ONCE to the
+    unioned dim/new-version branches. Two separate lookups were the
+    pre-r11 form — two broadcast builds that never canonicalize equal
+    (the branches prune different columns), each paying its own feed
+    scan (7 jobs / 4 scans instead of 5 / 3 at the 10x tier)."""
+    from kse.queries.extras import q_sql_scd2_incremental
+
+    plan = (
+        q_sql_scd2_incremental(spark, SF_T2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastExchange") == 1
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Scan parquet") == 3
+
+
 def test_knn_uses_take_ordered(spark):
     """Global top-k must be TakeOrderedAndProject (per-partition heap +
     driver merge of k rows), never a global Sort."""
